@@ -1,0 +1,67 @@
+"""Table catalog: mounts the driver's parquet test tables as views.
+
+Mirrors the reference's "catalog", which is a mutable ``config.ini``
+rewritten by every stage (`/root/reference/src/preprocess.py:71-80`,
+`src/train.py:63-71`) plus an external ClickHouse table
+(`src/database.py:53-66`). Here the catalog is the Spark catalog:
+explicit schemas, parquet storage, temp views per scale-factor dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The driver's synthetic tables (TESTDATA.md / FIXTURES.md §2).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one test table.
+
+    Declarative ``spark.read.parquet`` so Catalyst gets predicate
+    pushdown / column pruning / partition pruning for free — the scan
+    itself is the same plan node it would be on a 100 TB table.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Defensive: callers (e.g. the driver harness) may hand us a session
+    # built without our factory. Timestamp semantics (date_trunc,
+    # date_format, epoch casts) must be UTC to match the oracle's naive
+    # reading regardless of host TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects (PARQUET_TYPE_ILLEGAL). Read the physical int64
+        # (legacy nanosAsLong conf, set defensively here in case the
+        # session factory wasn't ours) and truncate ns→µs with exact
+        # integer division — double division rounds and drifts 1µs from
+        # DuckDB's truncating read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every test table as a temp view for the SQL surface
+    (SURVEY §2 S8/S9: SQL-string-in, DataFrame-out)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

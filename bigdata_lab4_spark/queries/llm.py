@@ -1,0 +1,290 @@
+"""L-series — LLM-data-pipeline operators (SURVEY §2.10).
+
+Dedup, near-dup, similarity search, text stats, and embedding math
+over `documents` / `embeddings`. Each operator ships two paths:
+
+* an **exact** formulation that the DuckDB oracle can verify at
+  sf0.01 (registered with oracle SQL), and
+* the **scale** path (MinHash LSH / random-projection LSH) that is
+  the one you would run at 100 TB, verified rows-only plus recall
+  tests against the exact variant (tests/test_llm.py).
+
+Scale notes: the exact near-dup query is an inverted-index
+self-join — candidate pairs only where documents share a token, not
+an all-pairs cartesian. That is already the scalable *exact*
+algorithm; its worst case (ubiquitous tokens) is exactly what MinHash
+banding (l02b) fixes, by making candidate generation frequency-
+independent. kNN similarly: brute-force cosine is the oracle
+baseline; the LSH bucketed variant is the ANN path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdata_lab4_spark.catalog import load_table
+from bigdata_lab4_spark.registry import query
+from bigdata_lab4_spark.functions.embeddings import cosine_col
+from bigdata_lab4_spark.functions.text import tokens_col
+
+
+@query(
+    "l01_exact_dedup",
+    oracle="""
+        SELECT md5(text) AS text_hash,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    doc="L1 exact dedup via content hash — groupBy(md5(text)), keep the "
+    "min doc_id per group. Hash-groupBy shuffles 16-byte digests, not "
+    "document bodies — the 100 TB-safe exact-dedup shape.",
+)
+def l01_exact_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "l01b_distinct_rows",
+    oracle="""
+        SELECT source, count(*) AS n_rows, count(DISTINCT text) AS n_unique
+        FROM documents GROUP BY source
+    """,
+    doc="L1 dedup accounting per source — duplicate rate per provenance "
+    "bucket, the triage view a dedup pipeline starts from.",
+)
+def l01b_distinct_rows(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_rows"), F.countDistinct("text").alias("n_unique")
+    )
+
+
+@query(
+    "l02_jaccard_pairs",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))
+                       AS token
+            FROM documents WHERE doc_id < 200
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+            FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT d1, d2,
+                   round(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+        )
+        SELECT d1, d2, jaccard FROM scored
+        ORDER BY jaccard DESC, d1, d2 LIMIT 20
+    """,
+    doc="L2 exact n-gram Jaccard near-dup — inverted-index self-join "
+    "(pairs only where a token is shared), token-set Jaccard, top-20 most "
+    "similar pairs. Rank on the rounded score so cross-engine float drift "
+    "cannot reorder the cut. The MinHash-LSH scale path is l02b.",
+)
+def l02_jaccard_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = d.select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.select(F.col("doc_id").alias("d1"), "token")
+    b = tok.select(F.col("doc_id").alias("d2"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("common"))
+    )
+    scored = (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sa"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sb"), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard"), "d1", "d2").limit(20)
+
+
+@query(
+    "l02b_minhash_lsh",
+    oracle=None,  # LSH candidate set is seed/implementation-specific
+    doc="L2 MinHash-LSH near-dup, the 100 TB path: shingle → HashingTF → "
+    "MinHashLSH(seed=42) → approxSimilarityJoin. Candidate generation is "
+    "banded hashing (frequency-independent), verified by recall against "
+    "l02_jaccard_pairs in tests/test_llm.py.",
+)
+def l02b_minhash_lsh(spark, sf_dir):
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", tokens_col("text").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("d1"),
+            F.col("datasetB.doc_id").alias("d2"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .orderBy("jaccard_dist", "d1", "d2")
+        .limit(50)
+    )
+
+
+@query(
+    "l03_knn_exact",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+        ), pairs AS (
+            SELECT qid, vec_id AS cid,
+                   round(
+                     list_sum(list_transform(list_zip(qe, embedding),
+                              s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     6) AS cosine
+            FROM q, embeddings WHERE vec_id != qid
+        ), ranked AS (
+            SELECT qid, cid, cosine,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+            FROM pairs
+        )
+        SELECT qid, cid, cosine, rn FROM ranked WHERE rn <= 10
+    """,
+    doc="L3 exact kNN — brute-force cosine top-10 for 5 query vectors: "
+    "broadcast the (tiny) query side against the sharded corpus, per-query "
+    "row_number on the ROUNDED cosine (deterministic under float drift). "
+    "Dot/norm are Catalyst higher-order functions — no Python. "
+    "The ANN scale path is l03b.",
+)
+def l03_knn_exact(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.round(cosine_col("qe", "embedding"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@query(
+    "l03b_ann_lsh",
+    oracle=None,  # bucketed-random-projection candidates are seed-specific
+    doc="L3 ANN via BucketedRandomProjectionLSH(seed=42) — the IVF/LSH-style "
+    "scale path: hash both sides into buckets, join within buckets only. "
+    "Recall vs l03_knn_exact is asserted in tests/test_llm.py.",
+)
+def l03b_ann_lsh(spark, sf_dir):
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("vec")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(
+        e, q.withColumnRenamed("qid", "vec_id").withColumnRenamed("qvec", "vec"),
+        4.0,
+        distCol="dist",
+    )
+    return (
+        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetB.vec_id").alias("qid"),
+            F.col("datasetA.vec_id").alias("cid"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .orderBy("qid", "dist", "cid")
+    )
+
+
+@query(
+    "l04_text_stats",
+    oracle="""
+        SELECT doc_id,
+               length(text) AS text_len,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))
+                   AS n_tokens,
+               round(length(replace(text, ' ', '')) * 1.0 /
+                     len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')), 4)
+                   AS avg_token_len,
+               lang
+        FROM documents
+        WHERE lang = 'en' AND n_chars > 150
+    """,
+    doc="L4 per-document text stats + language filter — length, token count, "
+    "mean token length over the en subset (filters pushed to the scan).",
+)
+def l04_text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    return (
+        d.filter((F.col("lang") == "en") & (F.col("n_chars") > 150))
+        .select(
+            "doc_id",
+            F.length("text").alias("text_len"),
+            F.size(toks).alias("n_tokens"),
+            F.round(
+                F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.size(toks), 4
+            ).alias("avg_token_len"),
+            "lang",
+        )
+    )
+
+
+@query(
+    "l06_embedding_math",
+    oracle="""
+        SELECT label,
+               count(*) AS n,
+               round(avg(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm,
+               round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_dim0
+        FROM embeddings GROUP BY label
+    """,
+    doc="L6 embedding math — L2 norms and per-label aggregates via "
+    "aggregate/zip_with higher-order functions (SURVEY §2.10 L6).",
+)
+def l06_embedding_math(spark, sf_dir):
+    from bigdata_lab4_spark.functions.embeddings import l2_norm_col
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(l2_norm_col("embedding")), 6).alias("avg_norm"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("avg_dim0"),
+    )
