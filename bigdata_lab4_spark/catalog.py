@@ -60,8 +60,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: attribute stashed on the session recording which sf_dir is mounted,
+#: so repeated SQL calls don't re-read 10 parquet footers each time.
+_REGISTERED_ATTR = "_bigdata_lab4_registered_sf_dir"
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every test table as a temp view for the SQL surface
-    (SURVEY §2 S8/S9: SQL-string-in, DataFrame-out)."""
+    (SURVEY §2 S8/S9: SQL-string-in, DataFrame-out).
+
+    Memoized per (session, sf_dir): registering is metadata-only but
+    still pays a parquet footer/schema read per table, which showed up
+    as ~1.5 s per `run_sql` call in the bench before caching.
+    """
+    if getattr(spark, _REGISTERED_ATTR, None) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    setattr(spark, _REGISTERED_ATTR, sf_dir)

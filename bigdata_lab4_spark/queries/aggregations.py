@@ -330,16 +330,20 @@ def a09_idf(spark, sf_dir):
     from bigdata_lab4_spark.functions.text import tokens_col
 
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar dimension, folded into the expression
+    # N as a 1-row DataFrame broadcast-crossjoined into the plan (the
+    # oracle's `n` CTE) — one scan, one job. An eager d.count() here
+    # would be a second full pass over the corpus at 100 TB.
+    n = d.agg(F.count("*").alias("n_docs"))
     doc_tokens = d.select("doc_id", F.explode(tokens_col("text")).alias("token")).distinct()
     return (
         doc_tokens.groupBy("token")
         .agg(F.count("*").alias("doc_freq"))
+        .crossJoin(F.broadcast(n))
         .select(
             "token",
             "doc_freq",
             F.round(
-                F.log((1.0 + n_docs) / (1.0 + F.col("doc_freq"))) + 1.0, 6
+                F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("doc_freq"))) + 1.0, 6
             ).alias("idf"),
         )
         .orderBy(F.desc("doc_freq"), "token")
@@ -367,9 +371,20 @@ def a10_nb_class_stats(spark, sf_dir):
     from bigdata_lab4_spark.functions.text import tokens_col
 
     d = load_table(spark, sf_dir, "documents")
-    total = d.count()
-    return d.groupBy(F.col("lang").alias("cls")).agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(tokens_col("text"))).alias("n_tokens"),
-        F.round(F.count("*") / F.lit(total), 6).alias("prior"),
+    # total as an in-plan 1-row broadcast, mirroring the oracle's `n`
+    # CTE — avoids an eager driver-side count (second full scan).
+    n = d.agg(F.count("*").alias("total"))
+    return (
+        d.groupBy(F.col("lang").alias("cls"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens_col("text"))).alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "cls",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("prior"),
+        )
     )

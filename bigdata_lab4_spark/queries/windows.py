@@ -133,24 +133,45 @@ def w04_latest_per_key(spark, sf_dir):
 @query(
     "w05_ntile",
     oracle="""
-        WITH tiled AS (
-            SELECT o_totalprice,
-                   ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        WITH b AS (
+            SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                   round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 4) AS p75
             FROM orders
         )
-        SELECT quartile, count(*) AS n,
+        SELECT 1 + CAST(o_totalprice > p25 AS INT)
+                 + CAST(o_totalprice > p50 AS INT)
+                 + CAST(o_totalprice > p75 AS INT) AS quartile,
+               count(*) AS n,
                round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
-        FROM tiled GROUP BY quartile
+        FROM orders, b GROUP BY quartile
     """,
-    doc="W5 ntile — quartile bucketing of order value. (Global-order window: "
-    "fine here because the follow-up agg collapses it; at 100 TB use "
-    "percentile_approx bounds instead — see w05b.)",
+    doc="W5 quartile bucketing of order value via percentile bounds — the "
+    "scale-correct formulation of ntile(4): a tiny percentile agg is "
+    "broadcast back and each row is banded with a CASE, so the job is one "
+    "reduce-to-4-doubles pass plus a map-only pass. A Window.orderBy with "
+    "no partition (literal ntile) would funnel the whole table through one "
+    "task at 100 TB. Ties at a boundary land in the same bucket — banded "
+    "semantics, deterministic on both engines (bounds rounded to 4 dp; "
+    "Spark `percentile` ≡ DuckDB quantile_cont, proven by w05b).",
 )
 def w05_ntile(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    bounds = o.agg(
+        *[
+            F.round(F.percentile("o_totalprice", p), 4).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75)
+        ]
+    )
+    quartile = (
+        F.lit(1)
+        + (F.col("o_totalprice") > F.col("p25")).cast("int")
+        + (F.col("o_totalprice") > F.col("p50")).cast("int")
+        + (F.col("o_totalprice") > F.col("p75")).cast("int")
+    )
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        o.crossJoin(F.broadcast(bounds))
+        .select("o_totalprice", quartile.alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n"),
