@@ -119,6 +119,26 @@ def l02_jaccard_pairs(spark, sf_dir):
     return scored.orderBy(F.desc("jaccard"), "d1", "d2").limit(20)
 
 
+def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6):
+    """Full (un-truncated) MinHash-LSH candidate pair set — the
+    helper both the registered query (top-50 view below) and the
+    recall tests (tests/test_llm.py) build on."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", tokens_col("text").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
+    return pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("d1"),
+        F.col("datasetB.doc_id").alias("d2"),
+        F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    )
+
+
 @query(
     "l02b_minhash_lsh",
     oracle=None,  # LSH candidate set is seed/implementation-specific
@@ -128,22 +148,8 @@ def l02_jaccard_pairs(spark, sf_dir):
     "l02_jaccard_pairs in tests/test_llm.py.",
 )
 def l02b_minhash_lsh(spark, sf_dir):
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    d = load_table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", tokens_col("text").alias("tokens"))
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(docs)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("d1"),
-            F.col("datasetB.doc_id").alias("d2"),
-            F.round("jaccard_dist", 6).alias("jaccard_dist"),
-        )
+        minhash_lsh_pairs(spark, sf_dir)
         .orderBy("jaccard_dist", "d1", "d2")
         .limit(50)
     )

@@ -1,0 +1,165 @@
+"""Streaming window tests (T4 watermark/late-data, T6 append sink)
+plus the predictions write path (S6/S7).
+
+The streaming scenario is built from hand-written parquet files so
+watermark movement is fully deterministic: three files replayed
+oldest-first with ``maxFilesPerTrigger=1`` become three micro-
+batches; the watermark computed from batch N gates batch N+1.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from bigdata_lab4_spark.engine import (
+    create_predictions_table,
+    insert_prediction,
+    top_k_predictions,
+)
+from bigdata_lab4_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    tumbling_event_counts,
+)
+
+
+def _ts(h: int, m: int) -> datetime:
+    return datetime(2026, 1, 15, h, m, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def stream_result(spark, tmp_path_factory):
+    """Replay five event files as five micro-batches.
+
+    * f0: hour-10 events → watermark advances to 10:49 for later
+      batches
+    * f1: a 12:30 event → watermark 12:20, which closes and emits
+      the [10:00, 11:00) window
+    * f2: a 14:00 event → watermark 13:50, closes [12:00, 13:00)
+    * f3: a LATE 10:20 event — its [10:00, 11:00) window was emitted
+      and evicted two batches ago; append mode can never re-emit a
+      window, so the row MUST be dropped
+      (``numRowsDroppedByWatermark``), not aggregated
+    * f4: a 16:00 event → watermark 15:50; the final no-data
+      micro-batch (``noDataMicroBatches``, on by default) flushes
+      the now-closed [14:00, 15:00) window
+
+    The [16:00, 17:00) window is still open when input runs dry, so
+    it must NOT be in the sink; no emitted aggregate may include the
+    late value=100 row.
+    """
+    base = tmp_path_factory.mktemp("stream")
+    src = str(base / "events_src")
+    os.makedirs(src)
+    cols = ["ts", "event_type", "value"]
+    files = [
+        [( _ts(10, 0), "click", 1.0), (_ts(10, 30), "click", 2.0), (_ts(10, 59), "view", 10.0)],
+        [( _ts(12, 30), "click", 4.0)],
+        [( _ts(14, 0), "view", 8.0)],
+        [( _ts(10, 20), "click", 100.0)],  # late: window already emitted
+        [( _ts(16, 0), "view", 1.0)],
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            os.path.join(src, f"f{i}")
+        )
+        # oldest-first replay order follows modification time
+        for root, _, names in os.walk(os.path.join(src, f"f{i}")):
+            for n in names:
+                os.utime(os.path.join(root, n), (1000 + i, 1000 + i))
+
+    stream = read_events_stream(
+        spark, src + "/*/", max_files_per_trigger=1
+    )
+    agg = tumbling_event_counts(stream, window="1 hour", watermark="10 minutes")
+    out, cp = str(base / "out"), str(base / "cp")
+    run_available_now(agg, out, cp)
+    return spark.read.parquet(out).collect()
+
+
+def test_watermark_finalizes_closed_windows_only(stream_result):
+    starts = {r["window_start"] for r in stream_result}
+    # every window whose end <= the final 15:50 watermark is emitted
+    # (10:00, 12:00, 14:00); the 16:00 window was still open when
+    # the stream drained, so append mode never released it.
+    assert starts == {
+        int(_ts(10, 0).timestamp()),
+        int(_ts(12, 0).timestamp()),
+        int(_ts(14, 0).timestamp()),
+    }
+
+
+def test_late_row_dropped_from_emitted_window(stream_result):
+    rows = {(r["window_start"], r["event_type"]): r for r in stream_result}
+    # the late 10:20/value=100 row arrived after its window was
+    # emitted and evicted — it must not appear in any aggregate
+    click10 = rows[(int(_ts(10, 0).timestamp()), "click")]
+    assert click10["n"] == 2
+    assert click10["sum_value"] == pytest.approx(3.0)
+    view10 = rows[(int(_ts(10, 0).timestamp()), "view")]
+    assert view10["n"] == 1 and view10["sum_value"] == pytest.approx(10.0)
+    click12 = rows[(int(_ts(12, 0).timestamp()), "click")]
+    assert click12["n"] == 1 and click12["sum_value"] == pytest.approx(4.0)
+
+
+def test_streaming_matches_batch_plan_on_closed_window(spark, stream_result):
+    """T-series contract: the streaming emission for a finalized
+    window equals the batch aggregation over the on-time rows."""
+    on_time = [
+        (_ts(10, 0), "click", 1.0),
+        (_ts(10, 30), "click", 2.0),
+        (_ts(10, 59), "view", 10.0),
+        (_ts(12, 30), "click", 4.0),
+        (_ts(14, 0), "view", 8.0),
+    ]
+    # withWatermark is a documented no-op on batch frames, so the
+    # same function expresses both plans.
+    batch = tumbling_event_counts(
+        spark.createDataFrame(on_time, ["ts", "event_type", "value"])
+    ).collect()
+    batch_rows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"], r["avg_value"])
+        for r in batch
+    }
+    stream_rows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"], r["avg_value"])
+        for r in stream_result
+    }
+    assert stream_rows == batch_rows
+
+
+def test_events_stream_from_testdata_schema(spark):
+    """The sf0.001 events table mounts as a stream with the same
+    post-conversion schema contract the batch catalog provides."""
+    stream = read_events_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    assert stream.isStreaming
+    assert "ts" in stream.columns and "event_type" in stream.columns
+
+
+# -- predictions write path (S6/S7) ------------------------------------
+
+
+def test_predictions_insert_and_topk_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "predictions")
+    create_predictions_table(spark, path)
+    # idempotent create-if-not-exists
+    create_predictions_table(spark, path)
+    assert spark.read.parquet(path).count() == 0
+
+    insert_prediction(spark, "great movie", "Positive sentiment", path)
+    insert_prediction(spark, "terrible queue", "Negative sentiment", path)
+    rows = top_k_predictions(spark, limit=10, path=path).collect()
+    assert len(rows) == 2
+    # newest first, server-side timestamps present
+    assert rows[0]["timestamp"] >= rows[1]["timestamp"]
+    assert {r["prediction"] for r in rows} == {
+        "Positive sentiment",
+        "Negative sentiment",
+    }
+    one = top_k_predictions(spark, limit=1, path=path).collect()
+    assert len(one) == 1 and one[0]["message"] == rows[0]["message"]
+    with pytest.raises(ValueError):
+        top_k_predictions(spark, limit=-1, path=path)
