@@ -9,6 +9,7 @@ values — divergences are documented in tests.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from bigdata_lab4_spark.catalog import load_table
@@ -244,4 +245,63 @@ def f07_posexplode(spark, sf_dir):
         d.filter(F.col("doc_id") < 20)
         .select("doc_id", F.posexplode(tokens_col("text")).alias("pos", "token"))
         .select("doc_id", "pos", "token")
+    )
+
+
+@query(
+    "f08_grouped_agg_udaf",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               median(l_quantity) AS median_qty_udaf,
+               median(l_quantity) AS median_qty_native,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="U6 grouped-aggregate pandas UDF (UDAF): per-group median via "
+    "an Arrow-batched `pandas_udf`, side-by-side with the native "
+    "`median` scale path. Mirrors the reference's sklearn-style "
+    "custom-aggregate hook (SURVEY §2.8 U6); the reference itself "
+    "delegates aggregates to ClickHouse SQL (`src/database.py:80-88`).",
+)
+def f08_grouped_agg_udaf(spark, sf_dir):
+    """Grouped-agg pandas UDF demo (SURVEY §2.8 U6).
+
+    Scale notes (100 TB): a grouped-agg pandas UDF has NO partial
+    aggregation — every group's values shuffle to a single executor
+    and materialize as one Arrow batch, so it is only safe when
+    per-group cardinality fits executor memory (here: 4 groups over
+    lineitem — each ~1/4 of the table; fine at sf0.1, marginal at
+    100 TB). The native ``median`` / ``percentile_approx`` column
+    alongside is the scale path: partial-agg capable, codegen'd,
+    no Python in the loop. The UDAF hook exists for aggregates
+    Catalyst genuinely can't express — keep it off the hot path.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        # l_quantity is integral, so even-count interpolation lands
+        # on exact multiples of 0.5 — binary-exact in pandas, Spark
+        # and DuckDB alike; no rounding needed, no half-boundary.
+        return float(v.median())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    # Spark disallows mixing a grouped-agg pandas UDF with native
+    # aggregates in one agg() — two aggs + a broadcast join on the
+    # (4-row) group keys keeps both paths visible in one plan.
+    udaf_side = li.groupBy(*keys).agg(
+        median_udaf(F.col("l_quantity").cast("double")).alias("median_qty_udaf")
+    )
+    native_side = li.groupBy(*keys).agg(
+        F.median("l_quantity").alias("median_qty_native"),
+        F.count("*").alias("n"),
+    )
+    return (
+        native_side.join(F.broadcast(udaf_side), keys, "inner")
+        .select(*keys, "median_qty_udaf", "median_qty_native", "n")
+        .orderBy(*keys)
     )
