@@ -13,6 +13,7 @@ map:
 * :mod:`.scalars`     — §2.7 scalar function surface (F)
 * :mod:`.events`      — §2.9 batch event-time windows (T)
 * :mod:`.llm`         — §2.10 dedup/similarity/embedding ops (L)
+* :mod:`.multimodal`  — §2.10 L5 multimodal asset columns
 * :mod:`.textstats`   — text-analysis extensions (X)
 """
 
@@ -26,5 +27,6 @@ from bigdata_lab4_spark.queries import (  # noqa: F401
     scalars,
     events,
     llm,
+    multimodal,
     textstats,
 )
