@@ -1,0 +1,149 @@
+"""Physical-plan assertions — the 100 TB scale contract.
+
+Correctness is the oracle suite's job; this suite pins the *plan
+shapes* that make each operator survive a 1000-executor cluster:
+small dims broadcast (never shuffled), filters and column pruning
+reach the parquet scan, aggregations combine map-side before the
+exchange, top-k never globally sorts, and map-only Python stages
+stay shuffle-free. A regression here can keep results correct while
+silently turning a broadcast join into a 100 TB sort-merge shuffle —
+exactly the class of bug row-comparison tests can't see.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    from bigdata_lab4_spark.registry import REGISTRY
+    import bigdata_lab4_spark.queries  # noqa: F401
+
+    def get(name: str) -> str:
+        return plan_of(REGISTRY[name].fn(spark, SF_DIR))
+
+    return get
+
+
+def test_small_dim_joins_broadcast(plans):
+    """j03: nation/region build sides broadcast — no shuffle of the
+    large probe side, no sort-merge join."""
+    p = plans("j03_broadcast_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_star_join_is_all_broadcasts_and_prunes_fact_columns(plans):
+    """j02: every dim of the star broadcasts, and the lineitem scan
+    reads exactly the 3 needed columns out of 16."""
+    p = plans("j02_star_join")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"
+        in p
+    )
+
+
+def test_tpch_q1_partial_aggregation_and_scan_pruning(plans):
+    """a05: map-side combine (partial_sum/avg) runs before the
+    exchange, the shipdate filter reaches the scan, and only the 7
+    referenced lineitem columns are read."""
+    p = plans("a05_tpch_q1")
+    assert "partial_sum" in p and "partial_avg" in p
+    # the shipdate predicate reaches the scan's DataFilters
+    assert "l_shipdate" in p.split("FileScan")[1]
+    # column pruning: unreferenced lineitem columns never appear
+    for pruned in ("l_orderkey", "l_partkey", "l_suppkey", "l_comment"):
+        assert pruned not in p
+
+
+def test_topk_avoids_global_sort(plans):
+    """o01: last-k by timestamp plans as TakeOrderedAndProject —
+    no range-partitioned global sort materialized."""
+    p = plans("o01_topk_by_timestamp")
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
+
+
+def test_exact_dedup_shuffles_digests_not_bodies(plans):
+    """l01: the groupBy key is the md5 digest computed BEFORE the
+    exchange — document bodies never cross the wire — with map-side
+    partial aggregation."""
+    p = plans("l01_exact_dedup")
+    # the exchange partitions on the computed digest expression, so
+    # only 16-byte digests (+ids) cross the wire, and the map-side
+    # partial aggregation has already collapsed duplicates
+    assert "Exchange hashpartitioning(_groupingexpression" in p
+    assert "partial_min" in p and "partial_count" in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_knn_broadcasts_query_side_with_partial_topk(plans):
+    """l03: tiny query side broadcasts (BroadcastNestedLoopJoin, not
+    a shuffled cartesian), and per-partition WindowGroupLimit prunes
+    to top-k before the single shuffle."""
+    p = plans("l03_knn_exact")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p and "Partial" in p
+
+
+def test_window_topk_uses_group_limit(plans):
+    """w01: rank-filter top-k triggers WindowGroupLimit pushdown —
+    partial per-partition pruning instead of full sort of all rows."""
+    p = plans("w01_topk_per_group")
+    assert "WindowGroupLimit" in p
+
+
+def test_parquet_scan_pushdown(plans):
+    """s09: the declared predicate lands in PushedFilters at the
+    parquet reader, not in a post-scan Filter alone."""
+    p = plans("s09_parquet_scan")
+    pushed = p.split("PushedFilters: ")[1].split("]")[0]
+    assert pushed.strip("[ ") != ""  # at least one real pushed filter
+
+
+def test_event_window_agg_partial_before_shuffle(plans):
+    """t01: tumbling-window agg combines map-side (partial_count/
+    partial_sum) before its single hash exchange."""
+    p = plans("t01_tumbling_window")
+    assert "partial_count" in p and "partial_sum" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_mapinpandas_stage_is_shuffle_free(plans):
+    """l05b: decode/feature-extract is a narrow map-only pipeline —
+    scan → project → MapInPandas with NO exchange anywhere."""
+    p = plans("l05b_decode_features")
+    assert "MapInPandas" in p
+    assert "Exchange" not in p
+
+
+def test_grouped_agg_udaf_keeps_native_partial_agg(plans):
+    """f08: the pandas UDAF side runs via AggregateInPandas while
+    the native median side still gets partial aggregation, and the
+    4-row UDAF result broadcasts into the join."""
+    p = plans("f08_grouped_agg_udaf")
+    # Spark 4's physical node for a grouped-agg pandas UDF
+    assert "ArrowAggregatePython" in p
+    assert "partial_percentile" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_asof_join_single_shuffle_per_user(plans):
+    """j07: the as-of join is a window over user_id — exactly one
+    hash exchange, no join node at all (composition avoids the
+    range-join blowup)."""
+    p = plans("j07_asof_join")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p  # no join operator — pure window rewrite
