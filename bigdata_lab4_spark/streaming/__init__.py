@@ -9,12 +9,14 @@ Here the same logical plans as the batch T-series run through
 """
 
 from bigdata_lab4_spark.streaming.windows import (
+    dedup_events_stream,
     read_events_stream,
     run_available_now,
     tumbling_event_counts,
 )
 
 __all__ = [
+    "dedup_events_stream",
     "read_events_stream",
     "tumbling_event_counts",
     "run_available_now",

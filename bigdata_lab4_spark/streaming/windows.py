@@ -77,6 +77,30 @@ def tumbling_event_counts(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming stateful dedup (T5's streaming form):
+    ``dropDuplicatesWithinWatermark`` — the batch
+    ``t05_dedup``'s ``dropDuplicates(['event_id'])`` with BOUNDED
+    state.
+
+    Plain streaming ``dropDuplicates`` keeps every key ever seen —
+    unbounded state, a guaranteed OOM on a 100 TB/day stream.
+    ``dropDuplicatesWithinWatermark`` evicts a key once the
+    watermark passes its event time, trading completeness for a
+    bound: a duplicate arriving *later* than the watermark delay is
+    re-emitted (tests/test_streaming.py pins both behaviors). That
+    is the right trade when duplicates come from retries/at-least-
+    once sources, which cluster within seconds of the original.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_available_now(
     df: DataFrame,
     out_path: str,

@@ -163,3 +163,63 @@ def test_predictions_insert_and_topk_roundtrip(spark, tmp_path):
     assert len(one) == 1 and one[0]["message"] == rows[0]["message"]
     with pytest.raises(ValueError):
         top_k_predictions(spark, limit=-1, path=path)
+
+
+# -- streaming stateful dedup (T5 streaming form) ----------------------
+
+
+@pytest.fixture(scope="module")
+def dedup_result(spark, tmp_path_factory):
+    """Four micro-batches exercising dropDuplicatesWithinWatermark:
+
+    * f0: event_id 1 @10:00, event_id 2 @10:05 → both emitted
+    * f1: DUPLICATE event_id 1 @10:01 (id 1 still in state) →
+      dropped; event_id 3 @11:00 emitted → watermark 10:50
+    * f2: event_id 3 @11:01 duplicate (state for 3 alive until the
+      watermark passes 11:10) → dropped; event_id 4 @13:00 emitted
+      → watermark 12:50, and end-of-batch cleanup evicts id 1
+      (expired 10:10)
+    * f3: event_id 1 @14:00 — id 1's state is gone, so the row is
+      RE-EMITTED: bounded state trades late-duplicate detection for
+      survivable memory at stream scale
+    """
+    base = tmp_path_factory.mktemp("dedup_stream")
+    src = str(base / "events_src")
+    os.makedirs(src)
+    cols = ["event_id", "ts", "event_type", "value"]
+    files = [
+        [(1, _ts(10, 0), "click", 1.0), (2, _ts(10, 5), "view", 2.0)],
+        [(1, _ts(10, 1), "click", 1.0), (3, _ts(11, 0), "click", 3.0)],
+        [(3, _ts(11, 1), "click", 3.0), (4, _ts(13, 0), "click", 4.0)],
+        [(1, _ts(14, 0), "click", 9.0)],
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            os.path.join(src, f"f{i}")
+        )
+        for root, _, names in os.walk(os.path.join(src, f"f{i}")):
+            for n in names:
+                os.utime(os.path.join(root, n), (1000 + i, 1000 + i))
+
+    from bigdata_lab4_spark.streaming import dedup_events_stream
+
+    stream = read_events_stream(spark, src + "/*/", max_files_per_trigger=1)
+    out, cp = str(base / "out"), str(base / "cp")
+    run_available_now(dedup_events_stream(stream), out, cp)
+    return spark.read.parquet(out).collect()
+
+
+def test_stream_dedup_drops_in_state_duplicates(dedup_result):
+    emitted = sorted((r["event_id"], r["ts"].hour, r["ts"].minute) for r in dedup_result)
+    # duplicates at 10:01 (id 1) and 11:01 (id 3) were deduped
+    assert (1, 10, 1) not in emitted and (3, 11, 1) not in emitted
+    assert (1, 10, 0) in emitted and (2, 10, 5) in emitted and (3, 11, 0) in emitted
+    assert (4, 13, 0) in emitted
+
+
+def test_stream_dedup_state_is_bounded_not_forever(dedup_result):
+    # id 1 reappearing at 14:00 — long after its state was evicted —
+    # is re-emitted: the documented bounded-state trade-off
+    emitted = sorted((r["event_id"], r["ts"].hour, r["ts"].minute) for r in dedup_result)
+    assert (1, 14, 0) in emitted
+    assert len(emitted) == 5
