@@ -294,3 +294,158 @@ def l06_embedding_math(spark, sf_dir):
         F.round(F.avg(l2_norm_col("embedding")), 6).alias("avg_norm"),
         F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("avg_dim0"),
     )
+
+
+# -- L7: SimHash near-dup (deterministic LSH — no seed, oracle-able) ----
+
+#: 60-bit SimHash from md5-derived token hashes. md5 is computed
+#: identically by Spark and DuckDB (UTF-8 bytes), and 15 hex chars =
+#: 60 bits fit a signed BIGINT on both engines, so the whole
+#: fingerprint — unlike seeded MinHash (l02b) — is bit-for-bit
+#: reproducible in the oracle. All Catalyst higher-order functions,
+#: JVM-side.
+_SIMHASH_HASHES = (
+    "transform(array_distinct({toks}), "
+    "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+)
+_SIMHASH_FP = (
+    "aggregate("
+    "  transform(sequence(0, 59), i ->"
+    "    IF(2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > size(hs),"
+    "       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+    "  CAST(0 AS BIGINT), (s, x) -> s + x)"
+)
+
+
+def simhash_fingerprints(spark, sf_dir):
+    """(doc_id, fp) for every non-null document — shared by l07,
+    l07b and the recall tests."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = "filter(split(text, '\\\\s+'), t -> t != '')"
+    return d.select(
+        "doc_id",
+        F.expr(_SIMHASH_HASHES.format(toks=toks)).alias("hs"),
+    ).select("doc_id", F.expr(_SIMHASH_FP).alias("fp"))
+
+
+_SIMHASH_ORACLE_FP = """
+        SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(range(0, 60), i ->
+                   CASE WHEN 2 * len(list_filter(hs, h -> (h >> i) & 1 = 1)) > len(hs)
+                        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), 0)
+                    AS BIGINT) AS fp
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                 t -> t != '')),
+                       t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+            FROM documents WHERE text IS NOT NULL
+        )
+"""
+
+
+@query(
+    "l07_simhash",
+    oracle=_SIMHASH_ORACLE_FP,
+    doc="L2/SimHash fingerprints — 60-bit per-doc signature via per-bit "
+    "token-hash majority vote. Map-only (no shuffle); deterministic, so "
+    "bit-for-bit oracle-checked, unlike seeded MinHash.",
+)
+def l07_simhash(spark, sf_dir):
+    return simhash_fingerprints(spark, sf_dir)
+
+
+@query(
+    "l07b_simhash_neardup",
+    oracle="""
+        WITH fp AS ({fp_sql}),
+        bands AS (
+            SELECT doc_id, fp, r.range AS band,
+                   (fp >> (15 * CAST(r.range AS INTEGER))) & 32767 AS val
+            FROM fp CROSS JOIN range(0, 4) r
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, a.fp AS fp1,
+                            b.doc_id AS d2, b.fp AS fp2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT d1, d2, bit_count(xor(fp1, fp2)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(fp1, fp2)) <= 6
+        ORDER BY hamming, d1, d2
+    """.format(fp_sql=_SIMHASH_ORACLE_FP),
+    doc="L2/SimHash banded near-dup join — 4 bands × 15 bits: candidate "
+    "pairs only where a band collides (inverted-index join on (band, "
+    "value), never all-pairs), then exact Hamming verify ≤ 6. Fully "
+    "deterministic LSH, so the oracle checks the complete pipeline.",
+)
+def l07b_simhash_neardup(spark, sf_dir):
+    fp = simhash_fingerprints(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), j -> named_struct("
+                "'band', j, 'val', shiftright(fp, 15 * j) & 32767))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "fp", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("d1"), F.col("fp").alias("fp1"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"), "band", "val"
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "fp1", "d2", "fp2")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "d1",
+            "d2",
+            F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .orderBy("hamming", "d1", "d2")
+    )
+
+
+@query(
+    "l06b_cosine_neardup",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+        ), pairs AS (
+            SELECT a.vec_id AS v1, b.vec_id AS v2,
+                   round(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     6) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+        )
+        SELECT v1, v2, cosine FROM pairs
+        ORDER BY cosine DESC, v1, v2 LIMIT 20
+    """,
+    doc="L1/L3 embedding-cosine near-dup — exact top-20 most-similar "
+    "pairs on a bounded slice: the oracle baseline for semantic dedup. "
+    "Rank on the ROUNDED cosine so float drift cannot reorder the cut. "
+    "At 100 TB the all-pairs stage is replaced by LSH bucketing "
+    "(l03b's BucketedRandomProjectionLSH: candidates per bucket, then "
+    "this exact re-score) — never a full cartesian.",
+)
+def l06b_cosine_neardup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("v1") < F.col("v2")).select(
+        "v1", "v2", F.round(cosine_col("ea", "eb"), 6).alias("cosine")
+    )
+    return pairs.orderBy(F.desc("cosine"), "v1", "v2").limit(20)
