@@ -8,6 +8,7 @@ Here the same logical plans as the batch T-series run through
 ``readStream`` with watermarks and an append parquet sink.
 """
 
+from bigdata_lab4_spark.streaming.stateful import sessionize_stream
 from bigdata_lab4_spark.streaming.windows import (
     dedup_events_stream,
     read_events_stream,
@@ -17,6 +18,7 @@ from bigdata_lab4_spark.streaming.windows import (
 
 __all__ = [
     "dedup_events_stream",
+    "sessionize_stream",
     "read_events_stream",
     "tumbling_event_counts",
     "run_available_now",

@@ -223,3 +223,69 @@ def test_stream_dedup_state_is_bounded_not_forever(dedup_result):
     emitted = sorted((r["event_id"], r["ts"].hour, r["ts"].minute) for r in dedup_result)
     assert (1, 14, 0) in emitted
     assert len(emitted) == 5
+
+
+# -- custom stateful operator: applyInPandasWithState sessionization ----
+
+
+@pytest.fixture(scope="module")
+def session_result(spark, tmp_path_factory):
+    """Five micro-batches exercising every sessionize_stream path:
+
+    * u1 @10:00+@10:10 then @12:00 — the 12:00 event arrives beyond
+      the 30-min gap while u1 still has state, so the first session
+      closes IN-BAND (new-data path) and a new one opens;
+    * u2 @10:05 — no further data; closes via EVENT-TIME TIMEOUT
+      once the watermark passes 10:35;
+    * u3 @11:30 then @14:00 — timeout-close, then a second session
+      that closes in the final no-data micro-batch (watermark 14:50
+      > 14:30);
+    * u4 @15:00 — still open when input drains: must NOT be emitted
+      (append mode emits each closed session exactly once).
+    """
+    base = tmp_path_factory.mktemp("session_stream")
+    src = str(base / "events_src")
+    os.makedirs(src)
+    cols = ["user_id", "ts", "value"]
+    files = [
+        [(1, _ts(10, 0), 1.0), (1, _ts(10, 10), 2.0), (2, _ts(10, 5), 5.0)],
+        [(3, _ts(11, 30), 7.0)],
+        [(1, _ts(12, 0), 3.0)],
+        [(3, _ts(14, 0), 1.0)],
+        [(4, _ts(15, 0), 2.0)],
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            os.path.join(src, f"f{i}")
+        )
+        for root, _, names in os.walk(os.path.join(src, f"f{i}")):
+            for n in names:
+                os.utime(os.path.join(root, n), (1000 + i, 1000 + i))
+
+    from bigdata_lab4_spark.streaming import sessionize_stream
+
+    stream = read_events_stream(spark, src + "/*/", max_files_per_trigger=1)
+    sess = sessionize_stream(stream.withWatermark("ts", "10 minutes"))
+    out, cp = str(base / "out"), str(base / "cp")
+    run_available_now(sess, out, cp)
+    return spark.read.parquet(out).collect()
+
+
+def test_sessions_close_in_band_and_by_timeout(session_result):
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in session_result
+    }
+    e = lambda h, m: int(_ts(h, m).timestamp())
+    assert got == {
+        (1, e(10, 0), e(10, 10), 2, 3.0),   # in-band close (gap exceeded)
+        (2, e(10, 5), e(10, 5), 1, 5.0),    # timeout close
+        (3, e(11, 30), e(11, 30), 1, 7.0),  # timeout close
+        (1, e(12, 0), e(12, 0), 1, 3.0),    # second session, timeout
+        (3, e(14, 0), e(14, 0), 1, 1.0),    # closed by final no-data batch
+    }
+
+
+def test_open_session_not_emitted(session_result):
+    # u4's 15:00 session was still open when the stream drained
+    assert all(r["user_id"] != 4 for r in session_result)
