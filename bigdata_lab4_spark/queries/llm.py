@@ -238,6 +238,144 @@ def l03b_ann_lsh(spark, sf_dir):
     )
 
 
+#: Per-row cosine against every codebook cell, rounded to 6dp so the
+#: argmax/probe decisions are bit-stable across engines (same guard as
+#: l03's ranking). Pure higher-order functions — runs inside codegen.
+_IVF_CELL_SCORES = """
+    transform(codebook, c -> struct(
+        round(
+            aggregate(zip_with(embedding, c.cvec,
+                      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                      0D, (s, x) -> s + x)
+            / (sqrt(aggregate(embedding, 0D,
+                    (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+             * sqrt(aggregate(c.cvec, 0D,
+                    (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+            6) AS cos,
+        c.cell_id AS cell_id))
+"""
+
+
+@query(
+    "l03c_ivf_ann",
+    oracle="""
+        WITH seeds AS (
+            SELECT vec_id AS cell_id, embedding AS cvec
+            FROM embeddings WHERE vec_id < 8
+        ), scores AS (
+            SELECT e.vec_id, s.cell_id,
+                   round(
+                     list_sum(list_transform(list_zip(e.embedding, s.cvec),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(s.cvec,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     6) AS cos
+            FROM embeddings e, seeds s
+        ), assigned AS (
+            SELECT vec_id, cell_id AS cell FROM (
+                SELECT vec_id, cell_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cell_id) AS rn
+                FROM scores) WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS qid, cell_id AS cell FROM (
+                SELECT vec_id, cell_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cell_id) AS rn
+                FROM scores WHERE vec_id < 5) WHERE rn <= 3
+        ), cand AS (
+            SELECT p.qid, a.vec_id AS cid
+            FROM probes p JOIN assigned a ON p.cell = a.cell
+            WHERE a.vec_id != p.qid
+        ), pairs AS (
+            SELECT c.qid, c.cid,
+                   round(
+                     list_sum(list_transform(list_zip(q.embedding, t.embedding),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(q.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(t.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     6) AS cosine
+            FROM cand c
+            JOIN embeddings q ON q.vec_id = c.qid
+            JOIN embeddings t ON t.vec_id = c.cid
+        )
+        SELECT qid, cid, cosine, rn FROM (
+            SELECT qid, cid, cosine,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, cid) AS rn
+            FROM pairs) WHERE rn <= 10
+    """,
+    doc="L3c IVF-style ANN — the third similarity-search path next to "
+    "brute-force (l03) and random-projection LSH (l03b). Coarse "
+    "quantizer: a deterministic 8-cell codebook (the 8 lowest vec_ids; "
+    "production would train it with KMeans — the probing plumbing is "
+    "identical) broadcast as ONE collect_list row, so cell assignment "
+    "is a map-only pass over the corpus: no shuffle, no Python, the "
+    "argmax runs as array_max over codegen'd higher-order cosines. "
+    "Queries probe their 3 nearest cells; exact cosine runs only "
+    "within probed cells (candidates ≈ nprobe/K of the corpus). At "
+    "100 TB the assigned corpus would be written partitioned by cell "
+    "so each probe prunes to 3 partitions. Deterministic end-to-end "
+    "(rounded scores + cell_id tie-breaks), hence fully hash-checked "
+    "vs DuckDB — unlike seed-dependent l03b. Recall vs l03 is pinned "
+    "in tests/test_llm.py.",
+)
+def l03c_ivf_ann(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    codebook = (
+        e.filter(F.col("vec_id") < 8)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("cell_id"),
+                        F.col("embedding").alias("cvec"),
+                    )
+                )
+            ).alias("codebook")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(codebook)).withColumn(
+        "cell_scores", F.expr(_IVF_CELL_SCORES)
+    )
+    # argmax cell per vector: max on (cos, -cell_id) ⇒ highest cosine,
+    # smallest cell_id on ties — mirrors the oracle's row_number order.
+    assigned = scored.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "-array_max(transform(cell_scores,"
+            " s -> struct(s.cos AS cos, -s.cell_id AS nid))).nid"
+        ).alias("cell"),
+    )
+    probes = scored.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.explode(
+            F.expr(
+                "transform(slice(reverse(array_sort(transform(cell_scores,"
+                " s -> struct(s.cos AS cos, -s.cell_id AS nid)))), 1, 3),"
+                " s -> -s.nid)"
+            )
+        ).alias("cell"),
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.round(cosine_col("qe", "embedding"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
 @query(
     "l04_text_stats",
     oracle="""
