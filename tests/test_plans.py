@@ -147,3 +147,17 @@ def test_asof_join_single_shuffle_per_user(plans):
     p = plans("j07_asof_join")
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p  # no join operator — pure window rewrite
+
+
+def test_ivf_ann_map_only_assignment_and_probe_broadcast(plans):
+    """l03c: the 1-row codebook broadcasts (map-only cell assignment,
+    no corpus shuffle before the probe join), the probe join is a
+    BroadcastHashJoin on cell (never sort-merge), and the final top-k
+    group-limits before its single candidates-only exchange."""
+    p = plans("l03c_ivf_ann")
+    assert "BroadcastNestedLoopJoin" in p  # corpus × 1-row codebook
+    assert "BroadcastHashJoin" in p  # probes → assigned cells
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p and "Partial" in p
+    assert "PythonUDF" not in p and "ArrowEvalPython" not in p
