@@ -158,3 +158,46 @@ def x04_fingerprint(spark, sf_dir):
     return d.select("doc_id", fp.alias("fingerprint")).groupBy("fingerprint").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc")
     )
+
+
+@query(
+    "x04b_rolling_fingerprint",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(
+                               list_filter(regexp_split_to_array(text, '\\s+'),
+                                           t -> t != ''),
+                               t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT))),
+                       (h, x) -> (h * 257 + x) % 2147483647) AS fingerprint
+            FROM documents
+        )
+        SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS first_doc
+        FROM fp GROUP BY fingerprint
+    """,
+    doc="X4b order-SENSITIVE document fingerprint — Karp–Rabin rolling "
+    "hash folded over the token stream (base 257, mod 2^31-1, per-token "
+    "md5-prefix hashes), complementing x04's bag-of-words signature: "
+    "token reorderings collide in x04 but not here. Pure Catalyst "
+    "`aggregate` fold — int64 intermediates stay exact (h < 2^31, "
+    "h*257 + tok < 2^41), so the fingerprint is bit-identical across "
+    "engines with no rounding guard. Map-only pass; the groupBy "
+    "shuffles 8-byte fingerprints, not bodies — same 100 TB posture "
+    "as l01.",
+)
+def x04b_rolling_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        tokens_col("text"),
+        F.lit(0).cast("bigint"),
+        lambda h, t: (
+            h * 257 + F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        ) % 2147483647,
+    )
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
