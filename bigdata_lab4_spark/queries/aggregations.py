@@ -388,3 +388,54 @@ def a10_nb_class_stats(spark, sf_dir):
             F.round(F.col("n_docs") / F.col("total"), 6).alias("prior"),
         )
     )
+
+
+@query(
+    "a11_salted_skew_agg",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value,
+               count(DISTINCT event_type) AS n_types
+        FROM events GROUP BY user_id
+    """,
+    doc="A11 salted two-stage aggregation — the hot-key mitigation for "
+    "aggregates whose PARTIAL state is unbounded per key (here "
+    "count-distinct: partial state is the per-key value set, so one "
+    "celebrity key can blow a single reducer even with map-side "
+    "combine; plain sum/count never need this). Stage 1 groups by "
+    "(user_id, salt = pmod(hash(event_id), 8)) so each hot key's "
+    "state splits across 8 reducers; stage 2 merges the 8 bounded "
+    "partials. Distinct-count stays exact by carrying collect_set → "
+    "array_distinct(flatten()) across stages. Result is salt-invariant "
+    "— hash-identical to the oracle's plain GROUP BY. At 100 TB the "
+    "salt fan-out (8) scales with observed key skew; AQE skew-join "
+    "handles the join-side analogue automatically.",
+)
+def a11_salted_skew_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(8)))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count("*").alias("p_count"),
+            F.sum("value").alias("p_sum"),
+            F.collect_set("event_type").alias("p_types"),
+        )
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("p_count").alias("n_events"),
+            F.round(F.sum("p_sum"), 2).alias("total_value"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("p_types")))).alias(
+                "n_types"
+            ),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "total_value",
+            F.col("n_types").cast("bigint").alias("n_types"),
+        )
+    )

@@ -161,3 +161,39 @@ def test_ivf_ann_map_only_assignment_and_probe_broadcast(plans):
     assert "CartesianProduct" not in p
     assert "WindowGroupLimit" in p and "Partial" in p
     assert "PythonUDF" not in p and "ArrowEvalPython" not in p
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
+    """Bucketing both join sides by the key removes every Exchange
+    from the join: at 100 TB this is THE recurring-join strategy —
+    pay the shuffle once at write time, join shuffle-free forever.
+    Written as bucketed tables (8 buckets on the key), the
+    orders⋈lineitem plan must contain a join but zero Exchange
+    operators; the unbucketed plan of the same join must shuffle."""
+    from bigdata_lab4_spark.catalog import load_table
+
+    wh = str(tmp_path_factory.mktemp("bucketed-warehouse"))
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+
+    # unbucketed control: the same join must shuffle both sides
+    joined = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+    assert "Exchange hashpartitioning" in plan_of(joined)
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    try:
+        (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .option("path", f"{wh}/b_orders").mode("overwrite").saveAsTable("b_orders"))
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .option("path", f"{wh}/b_lineitem").mode("overwrite").saveAsTable("b_lineitem"))
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        bj = bl.hint("merge").join(bo, bl.l_orderkey == bo.o_orderkey)
+        p = plan_of(bj)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-located: bucket-for-bucket join
+        # correctness unchanged by the physical strategy
+        assert bj.count() == joined.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
