@@ -33,10 +33,27 @@ def clean_text_col(c: Column | str, ascii_only: bool = False) -> Column:
     ``\\w`` (CPython ``re`` semantics, which the reference relies on).
     """
     c = F.col(c) if isinstance(c, str) else c
+    if ascii_only:
+        word, sp, nsp = r"\w", r"\s", r"\S"
+    else:
+        # CPython's unicode classes, spelled out for Java's engine
+        # (Java's (?U)\w/\s are close but NOT equal — fuzzed in
+        # tests/test_text_properties.py):
+        #   \w = isalnum ∪ {_} = L* ∪ N* (incl. No/Nl: '²', 'Ⅷ') ∪ _
+        #        but NOT marks (Java (?U)\w adds Mn/Mc/Me) and NOT
+        #        other connectors (Java adds all of Pc);
+        #   \s = White_Space ∪ \x1c-\x1f (bidi separators Python
+        #        counts as space, Java does not).
+        word = r"[\p{L}\p{N}_]"
+        sp = r"[\s\x1c-\x1f\x85]"
+        nsp = r"[^\s\x1c-\x1f\x85]"
+    # (?U) makes Java \s match unicode White_Space (NBSP etc.); the
+    # ascii_only branch skips it so the same pattern stays RE2-valid
+    # for the DuckDB oracle mirror.
     flags = "" if ascii_only else "(?U)"
-    c = F.regexp_replace(c, r"http\S+|www\S+", "")
-    c = F.regexp_replace(c, flags + r"@\w+", "")
-    c = F.regexp_replace(c, flags + r"#\w+", "")
+    c = F.regexp_replace(c, f"{flags}http{nsp}+|www{nsp}+", "")
+    c = F.regexp_replace(c, f"{flags}@{word}+", "")
+    c = F.regexp_replace(c, f"{flags}#{word}+", "")
     # translate() deletes chars with no replacement — same semantics
     # as str.translate(maketrans("", "", punctuation)); stays in
     # codegen, no regex engine needed for the 32-char class.
@@ -44,7 +61,7 @@ def clean_text_col(c: Column | str, ascii_only: bool = False) -> Column:
     c = F.lower(c)
     # Python .strip() removes all whitespace (space/tab/newline...),
     # Spark trim() only ' ' — use a regex trim for exact parity.
-    c = F.regexp_replace(c, r"^\s+|\s+$", "")
+    c = F.regexp_replace(c, f"{flags}^{sp}+|{sp}+$", "")
     return c
 
 
