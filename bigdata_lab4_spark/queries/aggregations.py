@@ -439,3 +439,25 @@ def a11_salted_skew_agg(spark, sf_dir):
             F.col("n_types").cast("bigint").alias("n_types"),
         )
     )
+
+
+@query(
+    "a12_approx_quantiles",
+    oracle=None,  # KLL/Greenwald-Khanna sketch values are engine-specific
+    doc="A12 approx quantiles (percentile_approx, Greenwald-Khanna "
+    "sketch, accuracy=10000) — the 100 TB variant of the exact "
+    "percentiles (w05b): mergeable fixed-size per-partition sketches "
+    "instead of a full sort, one pass, bounded memory. Engine-specific "
+    "sketch values → rows-only driver check; the rank-error bound vs "
+    "the exact answer is asserted in tests/test_sketches.py.",
+)
+def a12_approx_quantiles(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(
+                F.percentile_approx("o_totalprice", p, 10000), 2
+            ).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
