@@ -4,7 +4,7 @@ The reference's scalar surface is the tweet-cleaning chain
 (`/root/reference/src/utils.py:5-10`), a couple of casts
 (`src/preprocess.py:48`), the label decode
 (`src/predict.py:84-92`), its inverse
-(`tests/test_func_api.py:127`), and timestamp formatting
+(reference `tests/test_func_api.py:127`), and timestamp formatting
 (`src/app.py:98`). All are re-expressed as Catalyst column
 expressions — no Python UDFs — so they stay inside whole-stage
 codegen and push down to the scan where applicable.
@@ -173,7 +173,7 @@ def p09_label_decode(spark, sf_dir):
         FROM events GROUP BY 1, 2
     """,
     doc="P10 substring-contains decode (ref: 1 if 'positive' in s.lower(), "
-    "tests/test_func_api.py:127).",
+    "reference tests/test_func_api.py:127).",
 )
 def p10_contains_decode(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")

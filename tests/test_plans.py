@@ -197,3 +197,24 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions_at_scan(spark, tmp_path_factory):
+    """Hive-style partitioned layout + partition pruning: writing
+    documents partitioned by lang and filtering on lang must prune at
+    planning time — the scan's PartitionFilters carries the predicate
+    and only the matching directory is read. At 100 TB this turns a
+    full-corpus scan into a single-partition read."""
+    from bigdata_lab4_spark.catalog import load_table
+
+    out = str(tmp_path_factory.mktemp("parted") / "documents")
+    d = load_table(spark, SF_DIR, "documents")
+    d.write.partitionBy("lang").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).filter("lang = 'en'")
+    p = plan_of(back)
+    assert "PartitionFilters: [isnotnull(lang" in p and "lang" in p
+    # the predicate must NOT survive as a post-scan Filter on lang
+    assert "PushedFilters: [IsNotNull(lang)" not in p
+    n_en = d.filter("lang = 'en'").count()
+    assert back.count() == n_en and n_en > 0
