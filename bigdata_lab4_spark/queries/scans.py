@@ -101,3 +101,51 @@ def s09_parquet_scan(spark, sf_dir):
     return li.filter(
         (F.col("l_quantity") >= 49) & (F.col("l_shipdate") > F.lit("2001-06-01").cast("timestamp"))
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+_S08B_SQL = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "s08b_correlated_exists",
+    oracle=_S08B_SQL,
+    doc="S8b SQL passthrough, correlated EXISTS (TPC-H Q4 shape) — "
+    "the SAME ANSI SQL text runs on both engines; Catalyst "
+    "decorrelates the subquery into a left-semi join (asserted in "
+    "tests/test_plans.py), so at 100 TB it executes as one shuffled "
+    "semi-join, never a per-row probe.",
+)
+def s08b_correlated_exists(spark, sf_dir):
+    return run_sql(spark, _S08B_SQL, sf_dir)
+
+
+_S08C_SQL = """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+@query(
+    "s08c_scalar_subquery",
+    oracle=_S08C_SQL,
+    doc="S8c SQL passthrough, correlated scalar subquery (TPC-H Q17 "
+    "shape), same SQL text both engines. Catalyst rewrites the "
+    "per-part average into an aggregate + join instead of a "
+    "nested-loop re-scan. Boundary determinism: l_quantity values "
+    "are integers, so sum/count/0.2× are bit-identical IEEE doubles "
+    "on both engines regardless of summation order — the < predicate "
+    "cannot flip between engines.",
+)
+def s08c_scalar_subquery(spark, sf_dir):
+    return run_sql(spark, _S08C_SQL, sf_dir)

@@ -261,3 +261,17 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_correlated_subqueries_decorrelate_to_joins(plans):
+    """s08b/s08c: Catalyst must rewrite the correlated EXISTS into a
+    LeftSemi hash join and the correlated scalar subquery into an
+    aggregate + equi-join — never a per-row nested re-scan of
+    lineitem, which at 100 TB would be O(rows × subquery-scan)."""
+    p = plans("s08b_correlated_exists")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+    p = plans("s08c_scalar_subquery")
+    assert "partial_avg" in p  # per-part average aggregated once
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
