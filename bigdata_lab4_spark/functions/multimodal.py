@@ -148,3 +148,61 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return flat.mapInPandas(decode_batches, schema=ASSET_FEATURES_SCHEMA)
+
+
+#: Output schema of :func:`sample_frames`.
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("frame_idx", LongType(), True),
+        StructField("frame_offset", LongType(), True),
+        StructField("frame_len", LongType(), True),
+    ]
+)
+
+#: Frame-sampling granularity/stride: 64-byte "frames", keep every
+#: 2nd one (a real video pipeline would sample every Nth decoded
+#: frame the same way).
+FRAME_BYTES = 64
+FRAME_STEP = 2
+
+
+def sample_frames(assets: DataFrame) -> DataFrame:
+    """Frame sampling: 1→N row expansion per asset via
+    ``mapInPandas`` — the shape a video pipeline uses to turn each
+    clip into its sampled frames (here: every :data:`FRAME_STEP`-th
+    :data:`FRAME_BYTES`-byte slice, since real codecs are stubbed).
+
+    Spark-side this is the third mapInPandas contract after decode
+    and feature-extract: an EXPANDING map (output rows ≥ input rows)
+    that stays map-only — no shuffle, no Python aggregation state;
+    downstream per-frame work (dedup, embedding) partitions on
+    (doc_id, frame_idx). Deterministic offsets/lengths, so the whole
+    expansion is hash-checked against DuckDB (query ``l05c``).
+    """
+    flat = assets.select(
+        "doc_id", F.col("meta.mime").alias("mime"), F.col("meta.n_bytes").alias("n_bytes")
+    )
+    frame_bytes, frame_step = FRAME_BYTES, FRAME_STEP
+
+    def expand_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_len": []}
+            for d, m, n in zip(pdf["doc_id"], pdf["mime"], pdf["n_bytes"]):
+                if m != "text/plain":
+                    raise NotImplementedError(
+                        f"no decoder for mime {m!r}: image/audio/video "
+                        "codecs are stubbed in this environment "
+                        "(SURVEY §2 L5)"
+                    )
+                n_frames = (int(n) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, frame_step):
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(i * frame_bytes)
+                    out["frame_len"].append(min(frame_bytes, int(n) - i * frame_bytes))
+            yield _pd.DataFrame(out)
+
+    return flat.mapInPandas(expand_batches, schema=FRAME_SAMPLE_SCHEMA)

@@ -74,3 +74,34 @@ def l05_multimodal_meta(spark, sf_dir):
 def l05b_decode_features(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return extract_features(with_asset_columns(d))
+
+
+@query(
+    "l05c_frame_sample",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes
+            FROM documents WHERE text IS NOT NULL
+        ), f AS (
+            SELECT doc_id, n_bytes,
+                   unnest(range(0, CAST(ceil(n_bytes / 64.0) AS BIGINT), 2))
+                       AS frame_idx
+            FROM a
+        )
+        SELECT doc_id, frame_idx,
+               frame_idx * 64 AS frame_offset,
+               least(64, n_bytes - frame_idx * 64) AS frame_len
+        FROM f
+    """,
+    doc="L5 frame sampling via mapInPandas — the 1→N expanding map a "
+    "video pipeline uses (clip → every-Nth-frame rows): 64-byte "
+    "'frames', stride 2, stubbed codec. Map-only (no shuffle; "
+    "downstream per-frame ops key on (doc_id, frame_idx)); offsets "
+    "and lengths are deterministic, so the Python expansion is "
+    "hash-checked against DuckDB's unnest(range(...)).",
+)
+def l05c_frame_sample(spark, sf_dir):
+    from bigdata_lab4_spark.functions.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_asset_columns(d))

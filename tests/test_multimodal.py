@@ -71,3 +71,31 @@ def test_undecodable_mime_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="no decoder for mime"):
         extract_features(assets).collect()
+
+
+def test_sample_frames_expansion_and_map_only_plan(spark):
+    """sample_frames is a 1→N expanding map: known payload sizes give
+    exact frame counts/offsets, and the plan stays shuffle-free."""
+    from pyspark.sql import Row
+
+    from bigdata_lab4_spark.functions.multimodal import (
+        sample_frames,
+        with_asset_columns,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a" * 200, source="s"),   # 4 frames → idx 0, 2
+            Row(doc_id=2, text="b" * 64, source="s"),    # 1 frame  → idx 0
+            Row(doc_id=3, text="c" * 129, source="s"),   # 3 frames → idx 0, 2
+        ]
+    )
+    out = sample_frames(with_asset_columns(docs))
+    rows = {(r.doc_id, r.frame_idx): (r.frame_offset, r.frame_len) for r in out.collect()}
+    assert rows == {
+        (1, 0): (0, 64), (1, 2): (128, 64),
+        (2, 0): (0, 64),
+        (3, 0): (0, 64), (3, 2): (128, 1),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Exchange" not in plan
