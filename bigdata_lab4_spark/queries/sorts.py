@@ -159,3 +159,32 @@ def o06b_except_all(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     return o.exceptAll(c)
+
+
+@query(
+    "o03_deterministic_sample",
+    oracle="""
+        SELECT count(*) AS n_sampled,
+               round(sum(o_totalprice), 2) AS total_sampled,
+               min(o_orderkey) AS first_key
+        FROM orders
+        WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    doc="O3 sampling — content-hash Bernoulli sample (~12.5%: md5 hex "
+    "prefix in {0,1}), the reproducible alternative to "
+    "df.sample()/TABLESAMPLE whose RNG differs per engine, partition "
+    "count, and run. Hash-sampling is stable under repartitioning and "
+    "re-execution — the property a 100 TB pipeline needs so a sample "
+    "taken today joins consistently with one taken next week — and "
+    "deterministic across engines, so the sample itself is "
+    "oracle-checked. The predicate is map-only and combines with "
+    "column pruning at the scan.",
+)
+def o03_deterministic_sample(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    keep = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    return o.filter(keep).agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_sampled"),
+        F.min("o_orderkey").alias("first_key"),
+    )
