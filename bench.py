@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -59,25 +60,38 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").count()
 
+    # Median of N runs per query: single-run timings on a shared machine
+    # cannot distinguish load noise from real regressions (the r16→r17
+    # suite drifted +1 s with zero code change). N defaults to 5;
+    # override with SPARK_GRAFT_BENCH_RUNS (min 1).
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         # warm the input file listing/footers out of the measurement once
         df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        med = statistics.median(samples)
+        timings[name] = round(med, 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
+        total += med
 
     print(
         json.dumps(
             {
-                "metric": "declared-query suite wall-clock",
+                "metric": "declared-query suite wall-clock (median of %d)" % runs,
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "runs": runs,
                 "sf": sf,
             }
         )

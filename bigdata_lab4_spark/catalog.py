@@ -46,17 +46,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # reading regardless of host TZ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects (PARQUET_TYPE_ILLEGAL). Read the physical int64
-        # (legacy nanosAsLong conf, set defensively here in case the
-        # session factory wasn't ours) and truncate ns→µs with exact
-        # integer division — double division rounds and drifts 1µs from
-        # DuckDB's truncating read.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+        # testdata generations and TIMESTAMP(MICROS, ntz) in others.
+        # Spark's vectorized reader rejects NANOS (PARQUET_TYPE_ILLEGAL),
+        # so the session enables legacy nanosAsLong; under that conf a
+        # NANOS column surfaces as bigint, a MICROS one as
+        # timestamp/timestamp_ntz. Normalize either to TimestampType:
+        # ns→µs uses exact integer division (double division rounds and
+        # drifts 1µs from DuckDB's truncating read); ntz→ltz is
+        # wall-clock-preserving because the session TZ is pinned UTC.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":
+            return raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
