@@ -442,28 +442,48 @@ def l06_embedding_math(spark, sf_dir):
 #: fingerprint — unlike seeded MinHash (l02b) — is bit-for-bit
 #: reproducible in the oracle. All Catalyst higher-order functions,
 #: JVM-side.
-_SIMHASH_HASHES = (
-    "transform(array_distinct({toks}), "
-    "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
-)
-_SIMHASH_FP = (
+#:
+#: Shape matters (opt guide §1.2 "per-task work"): the token-hash
+#: array appears exactly ONCE, and the per-bit majority vote is a
+#: single fold over it carrying a 60-counter accumulator. The naive
+#: per-bit formulation (transform(sequence(0,59), i -> filter(hs,
+#: …))) references ``hs`` twice per bit; higher-order functions are
+#: interpreted (no codegen, no common-subexpression elimination), so
+#: after CollapseProject inlines ``hs`` the tokenize+md5 work ran
+#: ~120× per row — measured 42.7 s for l07b at sf0.1 vs ~1 s for
+#: this single-pass form (OPTIMIZATION_r21.md).
+_SIMHASH_EXPR = (
     "aggregate("
-    "  transform(sequence(0, 59), i ->"
-    "    IF(2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > size(hs),"
-    "       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
-    "  CAST(0 AS BIGINT), (s, x) -> s + x)"
+    "  transform(array_distinct({toks}),"
+    "            t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),"
+    "  struct(CAST(0 AS BIGINT) AS n,"
+    "         array_repeat(CAST(0 AS BIGINT), 60) AS cnt),"
+    "  (acc, h) -> struct(acc.n + CAST(1 AS BIGINT),"
+    "                     zip_with(acc.cnt, sequence(0, 59),"
+    "                              (c, i) -> c + (shiftright(h, i) & 1))),"
+    "  acc -> aggregate("
+    "    zip_with(acc.cnt, sequence(0, 59),"
+    "             (c, i) -> IF(2 * c > acc.n,"
+    "                          shiftleft(CAST(1 AS BIGINT), i),"
+    "                          CAST(0 AS BIGINT))),"
+    "    CAST(0 AS BIGINT), (s, x) -> s + x))"
 )
 
 
 def simhash_fingerprints(spark, sf_dir):
     """(doc_id, fp) for every non-null document — shared by l07,
-    l07b and the recall tests."""
+    l07b and the recall tests.
+
+    Bit-identical to the per-bit majority definition: ``cnt[i]`` is
+    the number of token hashes with bit *i* set and ``n`` the number
+    of distinct tokens, so ``2*cnt[i] > n`` reproduces ``2*|{h: bit
+    set}| > |hs|`` exactly — one pass instead of 60."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = "filter(split(text, '\\\\s+'), t -> t != '')"
     return d.select(
         "doc_id",
-        F.expr(_SIMHASH_HASHES.format(toks=toks)).alias("hs"),
-    ).select("doc_id", F.expr(_SIMHASH_FP).alias("fp"))
+        F.expr(_SIMHASH_EXPR.format(toks=toks)).alias("fp"),
+    )
 
 
 _SIMHASH_ORACLE_FP = """
