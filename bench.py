@@ -64,7 +64,12 @@ def main() -> None:
     # cannot distinguish load noise from real regressions (the r16→r17
     # suite drifted +1 s with zero code change). N defaults to 5;
     # override with SPARK_GRAFT_BENCH_RUNS (min 1).
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    try:
+        runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    except ValueError:
+        # a garbled env var must not kill the bench — fall back to the
+        # default methodology rather than crash before printing JSON
+        runs = 5
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

@@ -62,7 +62,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return raw.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        ts_col = F.col("ts")
+        if ts_type == "timestamp_ntz":
+            # Eager, pinned conversion: interpret the wall-clock value
+            # as UTC NOW, instead of a bare cast whose meaning floats
+            # with whatever spark.sql.session.timeZone happens to be at
+            # ACTION time (a caller changing the session TZ between
+            # plan and collect would silently shift every event).
+            ts_col = F.to_utc_timestamp(ts_col, "UTC")
+        return raw.withColumn("ts", ts_col.cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -10,7 +10,7 @@ mounted.
 
 from __future__ import annotations
 
-import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,17 +58,37 @@ def top_k_predictions(
     return src.orderBy("timestamp", ascending=False).limit(limit)
 
 
+#: Serializes first-insert table creation across the serving threads
+#: (ThreadingHTTPServer handles requests concurrently in one process);
+#: without it two first inserts race check-then-overwrite and one
+#: appended row can be clobbered by the other thread's empty-table
+#: overwrite.
+_CREATE_LOCK = threading.Lock()
+
+
 def create_predictions_table(spark: SparkSession, path: str) -> None:
     """Create-if-not-exists for the predictions sink (SURVEY §2 S6),
     mirroring ``CREATE TABLE IF NOT EXISTS predictions``
     (`/root/reference/src/database.py:53-66`) — but as a parquet
     directory any number of executors can append to, not a
-    single-node MergeTree."""
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
-    ):
-        return
-    spark.createDataFrame([], PREDICTIONS_SCHEMA).write.mode("overwrite").parquet(path)
+    single-node MergeTree.
+
+    The existence check goes through the Hadoop FileSystem API, so it
+    works on whatever filesystem ``path`` lives on (HDFS/S3A/local),
+    not just the driver's local disk. In-process concurrency is
+    serialized by ``_CREATE_LOCK``; cross-process create-vs-append
+    races are out of scope here, matching the reference's single
+    ClickHouse DDL connection."""
+    with _CREATE_LOCK:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.isDirectory(jpath):
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if name.endswith(".parquet") or name == "_SUCCESS":
+                    return
+        spark.createDataFrame([], PREDICTIONS_SCHEMA).write.mode("overwrite").parquet(path)
 
 
 def insert_prediction(

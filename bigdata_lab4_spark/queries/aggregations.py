@@ -119,23 +119,46 @@ def a03b_confusion_pivot(spark, sf_dir):
     "F1 computed as 2·tp/(support+predicted) — algebraically 2PR/(P+R).",
 )
 def a04_classification_report(spark, sf_dir):
+    # One scan, one shuffle, zero joins (was: three scans of the table,
+    # one per groupBy key, stitched with two left joins — guide §2.3
+    # "aggregate before you shuffle" / §2.4 "remove shuffles outright";
+    # splitting per-key branches instead defeats exchange reuse, because
+    # the outer-join build sides get different inferred isnotnull/equality
+    # filters pushed below each branch's aggregate). Every (label, pred)
+    # pair contributes two keyed rows — (cls=label: support, tp-if-equal)
+    # and (cls=pred: predicted) — and a single hash aggregate sums them;
+    # map-side partials collapse the doubled rows to ≤2k² per task.
+    # Classes never seen as a label (support=0) are filtered out,
+    # matching the old support-driven left joins.
     pairs = _pred_df(spark, sf_dir)
-    tp = pairs.filter(F.col("label") == F.col("pred")).groupBy(
-        F.col("label").alias("cls")
-    ).agg(F.count("*").alias("tp"))
-    support = pairs.groupBy(F.col("label").alias("cls")).agg(F.count("*").alias("support"))
-    predicted = pairs.groupBy(F.col("pred").alias("cls")).agg(F.count("*").alias("predicted"))
-    joined = (
-        support.join(tp, "cls", "left")
-        .join(predicted, "cls", "left")
-        .select(
-            "cls",
-            F.coalesce("tp", F.lit(0)).alias("tp"),
-            "support",
-            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+    contrib = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("label").alias("cls"),
+                    F.lit(1).alias("sup"),
+                    (F.col("label") == F.col("pred")).cast("int").alias("tp"),
+                    F.lit(0).alias("prd"),
+                ),
+                F.struct(
+                    F.col("pred").alias("cls"),
+                    F.lit(0).alias("sup"),
+                    F.lit(0).alias("tp"),
+                    F.lit(1).alias("prd"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    stats = (
+        contrib.groupBy("cls")
+        .agg(
+            F.sum("sup").alias("support"),
+            F.sum("tp").alias("tp"),
+            F.sum("prd").alias("predicted"),
         )
+        .filter(F.col("support") > 0)
     )
-    return joined.select(
+    return stats.select(
         "cls",
         F.round(F.col("tp") / F.nullif(F.col("predicted"), F.lit(0)), 6).alias("precision"),
         F.round(F.col("tp") / F.col("support"), 6).alias("recall"),
@@ -334,7 +357,11 @@ def a09_idf(spark, sf_dir):
     # oracle's `n` CTE) — one scan, one job. An eager d.count() here
     # would be a second full pass over the corpus at 100 TB.
     n = d.agg(F.count("*").alias("n_docs"))
-    doc_tokens = d.select("doc_id", F.explode(tokens_col("text")).alias("token")).distinct()
+    # Distinct (doc_id, token) pairs == per-row array_distinct before the
+    # explode: dedup happens inside the row, so the exploded token stream
+    # never pays a .distinct() exchange — one shuffle (the doc-freq agg)
+    # instead of two (opt guide §2.4 "remove shuffles outright").
+    doc_tokens = d.select(F.explode(F.array_distinct(tokens_col("text"))).alias("token"))
     return (
         doc_tokens.groupBy("token")
         .agg(F.count("*").alias("doc_freq"))

@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from bigdata_lab4_spark.catalog import load_table
 from bigdata_lab4_spark.registry import query
-from bigdata_lab4_spark.functions.embeddings import cosine_col
 from bigdata_lab4_spark.functions.text import tokens_col
 
 
@@ -96,7 +95,12 @@ def l01b_distinct_rows(spark, sf_dir):
 def l02_jaccard_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     tok = d.select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token"))
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # |token set| per doc is size(array_distinct(...)) computed row-wise
+    # on the (pruned, filtered) scan — no explode + groupBy shuffle just
+    # to count what the row already holds (guide §2.4).
+    sizes = d.select(
+        "doc_id", F.size(F.array_distinct(tokens_col("text"))).alias("sz")
+    )
     a = tok.select(F.col("doc_id").alias("d1"), "token")
     b = tok.select(F.col("doc_id").alias("d2"), "token")
     inter = (
@@ -183,9 +187,20 @@ def l02b_minhash_lsh(spark, sf_dir):
     "The ANN scale path is l03b.",
 )
 def l03_knn_exact(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
+    from bigdata_lab4_spark.functions.embeddings import dot_col, l2_norm_col
+
+    # Norms factored out of the per-pair expression (guide §1.2 step 2:
+    # per-task work): each corpus norm is computed once per ROW instead
+    # of once per (query, row) pair, and each query norm once instead of
+    # N times — the per-pair work drops from 3 array folds to 1 (the
+    # dot). Same doubles, same op order ⇒ bit-identical rounded cosine.
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "enorm", l2_norm_col("embedding")
+    )
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("enorm").alias("qnorm"),
     )
     pairs = (
         F.broadcast(q)
@@ -194,7 +209,9 @@ def l03_knn_exact(spark, sf_dir):
         .select(
             "qid",
             F.col("vec_id").alias("cid"),
-            F.round(cosine_col("qe", "embedding"), 6).alias("cosine"),
+            F.round(
+                dot_col("qe", "embedding") / (F.col("qnorm") * F.col("enorm")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
@@ -240,17 +257,18 @@ def l03b_ann_lsh(spark, sf_dir):
 
 #: Per-row cosine against every codebook cell, rounded to 6dp so the
 #: argmax/probe decisions are bit-stable across engines (same guard as
-#: l03's ranking). Pure higher-order functions — runs inside codegen.
+#: l03's ranking). Norms are NOT recomputed here: ``enorm`` is a
+#: per-row column (one fold per row, not per cell) and ``c.cnorm``
+#: ships inside the broadcast codebook — per cell the interpreted
+#: higher-order work is just the dot fold (guide §1.2 per-task work).
+#: sqrt(Σx²) is computed by the same ops as before ⇒ identical doubles.
 _IVF_CELL_SCORES = """
     transform(codebook, c -> struct(
         round(
             aggregate(zip_with(embedding, c.cvec,
                       (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
                       0D, (s, x) -> s + x)
-            / (sqrt(aggregate(embedding, 0D,
-                    (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-             * sqrt(aggregate(c.cvec, 0D,
-                    (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+            / (enorm * c.cnorm),
             6) AS cos,
         c.cell_id AS cell_id))
 """
@@ -325,7 +343,11 @@ _IVF_CELL_SCORES = """
     "in tests/test_llm.py.",
 )
 def l03c_ivf_ann(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings")
+    from bigdata_lab4_spark.functions.embeddings import dot_col, l2_norm_col
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "enorm", l2_norm_col("embedding")
+    )
     codebook = (
         e.filter(F.col("vec_id") < 8)
         .agg(
@@ -334,6 +356,7 @@ def l03c_ivf_ann(spark, sf_dir):
                     F.struct(
                         F.col("vec_id").alias("cell_id"),
                         F.col("embedding").alias("cvec"),
+                        F.col("enorm").alias("cnorm"),
                     )
                 )
             ).alias("codebook")
@@ -347,6 +370,7 @@ def l03c_ivf_ann(spark, sf_dir):
     assigned = scored.select(
         "vec_id",
         "embedding",
+        "enorm",
         F.expr(
             "-array_max(transform(cell_scores,"
             " s -> struct(s.cos AS cos, -s.cell_id AS nid))).nid"
@@ -355,6 +379,7 @@ def l03c_ivf_ann(spark, sf_dir):
     probes = scored.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
+        F.col("enorm").alias("qnorm"),
         F.explode(
             F.expr(
                 "transform(slice(reverse(array_sort(transform(cell_scores,"
@@ -369,7 +394,9 @@ def l03c_ivf_ann(spark, sf_dir):
         .select(
             "qid",
             F.col("vec_id").alias("cid"),
-            F.round(cosine_col("qe", "embedding"), 6).alias("cosine"),
+            F.round(
+                dot_col("qe", "embedding") / (F.col("qnorm") * F.col("enorm")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
@@ -540,29 +567,59 @@ def l07_simhash(spark, sf_dir):
     "deterministic LSH, so the oracle checks the complete pipeline.",
 )
 def l07b_simhash_neardup(spark, sf_dir):
+    # Bucket-grouped candidate generation (guide §2.3 "shuffle keys and
+    # metadata instead of payloads", §8): ONE fingerprint pass, ONE
+    # shuffle of (doc_id, fp) keyed on (band, val), pairs generated
+    # inside each bucket. The previous self-join form evaluated the
+    # fingerprint expression twice (once per join side) and broadcast
+    # the whole banded table — fine at sf0.1, impossible at 100 TB.
+    # sort_array orders each bucket by doc_id, so strict upper-triangle
+    # pairing reproduces the join's d1 < d2 filter exactly; distinct
+    # then dedups multi-band collisions as before.
     fp = simhash_fingerprints(spark, sf_dir)
+    # Explode a CONSTANT sequence and derive (band, val) from the fp
+    # column afterwards. Exploding transform(..., fp) instead lets
+    # CollapseProject inline the whole SimHash fold into the generator,
+    # re-evaluating tokenize+md5 per band (5× per row) — the same
+    # duplicate-evaluation trap as the old per-bit fingerprint.
     bands = fp.select(
+        "doc_id", "fp", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
+    ).select(
         "doc_id",
         "fp",
+        "band",
+        F.expr("shiftright(fp, 15 * band) & 32767").alias("val"),
+    )
+    buckets = (
+        bands.groupBy("band", "val")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    # Per-bucket pair generation with BOTH verifications fused into the
+    # expression, so only final result pairs are ever exploded:
+    # - first-band dedup: a pair is emitted only from the FIRST band the
+    #   two fingerprints collide in (forall over the earlier bands), so
+    #   each candidate appears exactly once — replaces the .distinct()
+    #   that shuffled ~3M duplicate candidates (exact-dup documents
+    #   collide in all 4 bands) at sf0.1;
+    # - the Hamming ≤ 6 verify runs on the 16-byte fingerprints inside
+    #   the bucket, before any row is materialized (guide §2.3: shuffle
+    #   decisions on metadata, not payload rows).
+    cand = buckets.select(
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), j -> named_struct("
-                "'band', j, 'val', shiftright(fp, 15 * j) & 32767))"
+                "flatten(transform(ms, (a, i) ->"
+                " transform("
+                "  filter(slice(ms, i + 2, size(ms)), b ->"
+                "   bit_count(a.fp ^ b.fp) <= 6"
+                "   AND (band < 1 OR ((a.fp ^ b.fp) & 32767) != 0)"
+                "   AND (band < 2 OR (shiftright(a.fp ^ b.fp, 15) & 32767) != 0)"
+                "   AND (band < 3 OR (shiftright(a.fp ^ b.fp, 30) & 32767) != 0)),"
+                "  b -> struct(a.doc_id AS d1, a.fp AS fp1,"
+                "              b.doc_id AS d2, b.fp AS fp2))))"
             )
-        ).alias("b"),
-    ).select("doc_id", "fp", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
-    a = bands.select(
-        F.col("doc_id").alias("d1"), F.col("fp").alias("fp1"), "band", "val"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"), "band", "val"
-    )
-    cand = (
-        a.join(b, ["band", "val"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "fp1", "d2", "fp2")
-        .distinct()
-    )
+        ).alias("p")
+    ).select("p.*")
     return (
         cand.select(
             "d1",
@@ -600,10 +657,26 @@ def l07b_simhash_neardup(spark, sf_dir):
     "this exact re-score) — never a full cartesian.",
 )
 def l06b_cosine_neardup(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
+    from bigdata_lab4_spark.functions.embeddings import dot_col, l2_norm_col
+
+    # Same norm factoring as l03: O(n) norms precomputed per side, the
+    # O(n²) pair expression pays only the dot — bit-identical result.
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .withColumn("nrm", l2_norm_col("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     pairs = a.join(F.broadcast(b), F.col("v1") < F.col("v2")).select(
-        "v1", "v2", F.round(cosine_col("ea", "eb"), 6).alias("cosine")
+        "v1",
+        "v2",
+        F.round(dot_col("ea", "eb") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
     return pairs.orderBy(F.desc("cosine"), "v1", "v2").limit(20)

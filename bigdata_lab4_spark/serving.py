@@ -142,9 +142,30 @@ class SentimentAPI:
                         # failed" (`src/app.py:85-87`)
                         self._json(500, {"detail": "Prediction failed"})
                 elif route == "/predictions":
+                    raw = parse_qs(parsed.query).get("limit", ["10"])[0]
                     try:
-                        q = parse_qs(parsed.query)
-                        limit = int(q.get("limit", ["10"])[0])
+                        limit = int(raw)
+                        if limit < 0:
+                            raise ValueError
+                    except ValueError:
+                        # validation failure is the client's fault →
+                        # 422, matching FastAPI's query-param
+                        # validation on the reference route
+                        # (`src/app.py:89-95`), not a 500
+                        self._json(
+                            422,
+                            {
+                                "detail": [
+                                    {
+                                        "loc": ["query", "limit"],
+                                        "msg": "value is not a valid non-negative integer",
+                                        "type": "type_error.integer",
+                                    }
+                                ]
+                            },
+                        )
+                        return
+                    try:
                         self._json(200, {"predictions": api.predictions(limit)})
                     except LookupError:
                         self._json(503, {"detail": "Database not available"})

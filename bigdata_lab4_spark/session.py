@@ -48,6 +48,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash join where the per-partition
+        # build side fits (guide §3.1): SMJ pays two full sorts that a
+        # hash join skips; AQE still falls back / splits skew at runtime.
+        # Visible effect: j04b full-outer flips SortMergeJoin →
+        # ShuffledHashJoin (plans/r21).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # zstd beats snappy on ratio at similar read speed (guide §6) for
+        # everything the engine writes (predictions sink, streaming).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # the driver testdata's events.ts is TIMESTAMP(NANOS) — read the
         # physical int64; catalog.load_table converts to µs timestamps
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -54,8 +54,22 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     Input needs ``user_id``, ``ts`` (timestamp, with a watermark
     already applied upstream) and ``value``.
     """
-    n, unit = gap.split()
-    gap_s = int(n) * {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")]
+    units = {
+        "s": 1, "sec": 1, "second": 1,
+        "min": 60, "minute": 60,
+        "h": 3600, "hr": 3600, "hour": 3600,
+        "d": 86400, "day": 86400,
+    }
+    try:
+        n, unit = gap.split()
+        gap_s = int(float(n) * units[unit.rstrip("s").lower()])
+    except (ValueError, KeyError) as exc:
+        raise ValueError(
+            f"unparseable gap {gap!r}: expected '<number> <unit>' with a "
+            f"unit among {sorted(set(units))} (e.g. '30 minutes', '1 day')"
+        ) from exc
+    if gap_s <= 0:
+        raise ValueError(f"gap must be positive, got {gap!r}")
 
     # Self-contained closure (only `gap_s` captured): executors must
     # not need this package on their PYTHONPATH — see

@@ -40,8 +40,14 @@ def read_events_stream(
     stream); by default it is borrowed from a batch read of the same
     path. ``max_files_per_trigger`` caps each micro-batch so a
     directory replays as a genuine multi-batch stream.
+
+    This reader does NOT touch session configuration (a reader
+    mutating ``spark.sql.session.timeZone`` as a side effect leaks
+    into every other query on the session): timezone semantics belong
+    to the session owner — the engine's factory pins UTC, and the
+    epoch-aligned tumbling windows downstream are timezone-independent
+    for instant-typed ``ts`` columns anyway.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if schema is None:
         schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
