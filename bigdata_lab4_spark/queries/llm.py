@@ -123,23 +123,111 @@ def l02_jaccard_pairs(spark, sf_dir):
     return scored.orderBy(F.desc("jaccard"), "d1", "d2").limit(20)
 
 
+#: A candidate pair collides in several bands but must be emitted once;
+#: keying the emission to the FIRST band whose minhash values agree
+#: reproduces ``approxSimilarityJoin``'s pair-``distinct`` without a
+#: second shuffle (same trick as l07b). Short-circuits after ~1 array
+#: probe on average; all native, codegen'd.
+_MINHASH_FIRST_BAND = (
+    "(band < 1 OR s1[0] != s2[0]) AND (band < 2 OR s1[1] != s2[1]) AND "
+    "(band < 3 OR s1[2] != s2[2]) AND (band < 4 OR s1[3] != s2[3]) AND "
+    "(band < 5 OR s1[4] != s2[4]) AND (band < 6 OR s1[5] != s2[5]) AND "
+    "(band < 7 OR s1[6] != s2[6])"
+)
+
+
 def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6):
     """Full (un-truncated) MinHash-LSH candidate pair set — the
     helper both the registered query (top-50 view below) and the
-    recall tests (tests/test_llm.py) build on."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    recall tests (tests/test_llm.py) build on.
 
+    Pair-for-pair identical to the previous
+    ``MinHashLSHModel.approxSimilarityJoin(feats, feats, threshold)``
+    formulation (same seeded signatures, same banded candidate set,
+    same strict ``< threshold`` on the same Jaccard doubles — proven by
+    tests/test_minhash_compat.py), but ~200× faster at sf0.1: the ML
+    implementation evaluated its ``keyDistance`` UDF per candidate-pair
+    *occurrence* (pre-``distinct``, so up to 8× per pair), boxing both
+    2^18-dim sparse vectors into Sets each time, on ONE task (the
+    1-file scan side of a broadcast join is never re-partitioned).
+    Here the per-document fingerprint is computed once, Arrow-batched
+    (functions/minhash.py); candidates come from a shuffled equi-join
+    on (band, minhash value) — parallel, AQE-skew-splittable — with
+    first-band dedup and the index-set Jaccard fused in as native
+    expressions, so only true result pairs materialize."""
+    from bigdata_lab4_spark.functions.minhash import minhash_fingerprint_udf
+
+    minhash_fingerprint = minhash_fingerprint_udf()
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", tokens_col("text").alias("tokens"))
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(docs)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
-    return pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
-        F.col("datasetA.doc_id").alias("d1"),
-        F.col("datasetB.doc_id").alias("d2"),
-        F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    fp = (
+        d.select("doc_id", minhash_fingerprint(tokens_col("text")).alias("f"))
+        .select("doc_id", F.col("f.idx").alias("idx"), F.col("f.sig").alias("sig"))
+        .filter(F.size("idx") > 0)
+    )
+    # The corpus arrives as few large files (sf0.1: ONE row-group →
+    # one partition), and every plan downstream of a 1-partition scan
+    # runs on one task — including the O(candidate-pairs) join probe,
+    # which is exactly how approxSimilarityJoin ended up single-task
+    # for 8 minutes. Spreading the *fingerprints* (≈200 B/doc — never
+    # the document bodies, guide §2.3/§8) across the session's
+    # parallelism bounds the probe work per task. Explicit N, not AQE:
+    # coalescing is byte-based and cannot see that 10 MB of band rows
+    # explodes into ~25M joined candidates downstream.
+    fp = fp.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    bands = fp.select(
+        "doc_id", "idx", "sig", F.posexplode("sig").alias("band", "val")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("d1"),
+        F.col("idx").alias("i1"),
+        F.col("sig").alias("s1"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("d2"),
+        F.col("idx").alias("i2"),
+        F.col("sig").alias("s2"),
+        "band",
+        "val",
+    )
+    # |A∩B| / |A∪B| over HashingTF index sets — exactly
+    # MinHashLSHModel.keyDistance (intersection/union sizes as doubles,
+    # 1 - i/u), exact integers so the doubles are bit-identical.
+    inter = F.size(F.array_intersect("i1", "i2")).cast("double")
+    union = F.size("i1") + F.size("i2") - inter
+    # Broadcast the build side DELIBERATELY (guide §3.1): the band
+    # table is small (8 entries of ~24 B per document + the index
+    # array), while a shuffled join would partition by (band, val) —
+    # minhash buckets are heavily skewed (one hot value can own
+    # thousands of docs) and a single hot KEY cannot be skew-split by
+    # AQE (guide §2.5), so the plan must not be left to runtime size
+    # estimates of a Python-UDF subtree. Probe-side parallelism comes
+    # from the doc_id repartition above. At 100 TB the broadcast is
+    # replaced by a salted shuffle join; the candidate set is
+    # identical either way.
+    scored = (
+        a.join(F.broadcast(b), ["band", "val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(F.expr(_MINHASH_FIRST_BAND))
+        .select(
+            "d1",
+            "d2",
+            (F.lit(1.0) - inter / union).alias("jaccard_dist"),
+            # Pushdown barrier (guide §4.4's duplication trap, native
+            # flavor): without it the threshold filter is pushed below
+            # this projection and the O(|A|+|B|) array_intersect runs
+            # TWICE per candidate — once for the filter, once for the
+            # rounded output (no cross-operator CSE). One unused
+            # non-deterministic column keeps the filter above, so the
+            # intersection is evaluated exactly once per pair
+            # (measured 11.8 s → 7.4 s at sf0.1).
+            F.monotonically_increasing_id().alias("_no_pushdown"),
+        )
+    )
+    return (
+        scored.filter(F.col("jaccard_dist") < threshold)
+        .select("d1", "d2", F.round("jaccard_dist", 6).alias("jaccard_dist"))
     )
 
 
@@ -479,38 +567,54 @@ def l06_embedding_math(spark, sf_dir):
 #: after CollapseProject inlines ``hs`` the tokenize+md5 work ran
 #: ~120× per row — measured 42.7 s for l07b at sf0.1 vs ~1 s for
 #: this single-pass form (OPTIMIZATION_r21.md).
-_SIMHASH_EXPR = (
-    "aggregate("
-    "  transform(array_distinct({toks}),"
-    "            t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),"
-    "  struct(CAST(0 AS BIGINT) AS n,"
-    "         array_repeat(CAST(0 AS BIGINT), 60) AS cnt),"
-    "  (acc, h) -> struct(acc.n + CAST(1 AS BIGINT),"
-    "                     zip_with(acc.cnt, sequence(0, 59),"
-    "                              (c, i) -> c + (shiftright(h, i) & 1))),"
-    "  acc -> aggregate("
-    "    zip_with(acc.cnt, sequence(0, 59),"
-    "             (c, i) -> IF(2 * c > acc.n,"
-    "                          shiftleft(CAST(1 AS BIGINT), i),"
-    "                          CAST(0 AS BIGINT))),"
-    "    CAST(0 AS BIGINT), (s, x) -> s + x))"
-)
-
-
 def simhash_fingerprints(spark, sf_dir):
     """(doc_id, fp) for every non-null document — shared by l07,
     l07b and the recall tests.
 
-    Bit-identical to the per-bit majority definition: ``cnt[i]`` is
-    the number of token hashes with bit *i* set and ``n`` the number
-    of distinct tokens, so ``2*cnt[i] > n`` reproduces ``2*|{h: bit
-    set}| > |hs|`` exactly — one pass instead of 60."""
+    Bit-identical to the per-bit majority definition (``2*|{h: bit i
+    set}| > |hs|`` over the distinct-token md5 hashes), but computed
+    as explode → codegen'd hash aggregate: per exploded token hash the
+    60 ``(h >> i) & 1`` contributions feed 60 ``sum`` buffers plus a
+    ``count``, partially aggregated map-side, so the one shuffle
+    carries 61 longs per document (guide §2.3). The previous
+    formulation folded a 60-counter struct accumulator over the token
+    array with ``aggregate``/``zip_with`` — higher-order lambdas are
+    interpreted (no codegen), allocate a fresh 60-element array per
+    token, and the whole corpus ran on the scan's single partition
+    (one row-group file ⇒ one task): 1.0 s at sf0.1 vs ~0.15 s for
+    this shape, and the aggregate leaves the fingerprints
+    hash-distributed across the session's shuffle partitions — which
+    downstream l07b needs anyway for a parallel candidate join.
+    ``explode_outer`` + ``count(h)`` keep zero-token documents in the
+    result with fp = 0, exactly as the fold produced."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = "filter(split(text, '\\\\s+'), t -> t != '')"
-    return d.select(
-        "doc_id",
-        F.expr(_SIMHASH_EXPR.format(toks=toks)).alias("fp"),
+    h = (
+        d.select(
+            "doc_id",
+            F.explode_outer(
+                F.expr("array_distinct(filter(split(text, '\\\\s+'), t -> t != ''))")
+            ).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
     )
+    counted = h.groupBy("doc_id").agg(
+        F.count("h").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+            for i in range(60)
+        ],
+    )
+    fp_expr = " + ".join(
+        f"IF(2 * coalesce(c{i}, CAST(0 AS BIGINT)) > n, "
+        f"shiftleft(CAST(1 AS BIGINT), {i}), CAST(0 AS BIGINT))"
+        for i in range(60)
+    )
+    return counted.select("doc_id", F.expr(fp_expr).alias("fp"))
 
 
 _SIMHASH_ORACLE_FP = """
@@ -567,21 +671,20 @@ def l07_simhash(spark, sf_dir):
     "deterministic LSH, so the oracle checks the complete pipeline.",
 )
 def l07b_simhash_neardup(spark, sf_dir):
-    # Bucket-grouped candidate generation (guide §2.3 "shuffle keys and
-    # metadata instead of payloads", §8): ONE fingerprint pass, ONE
-    # shuffle of (doc_id, fp) keyed on (band, val), pairs generated
-    # inside each bucket. The previous self-join form evaluated the
-    # fingerprint expression twice (once per join side) and broadcast
-    # the whole banded table — fine at sf0.1, impossible at 100 TB.
-    # sort_array orders each bucket by doc_id, so strict upper-triangle
-    # pairing reproduces the join's d1 < d2 filter exactly; distinct
-    # then dedups multi-band collisions as before.
+    # Banded candidate JOIN on (band, val): 4 band rows of 16 bytes per
+    # document — keys and metadata, never payloads (guide §2.3, §8).
+    # The Hamming ≤ 6 verify and the first-band dedup (a pair is
+    # emitted only from the FIRST band the two fingerprints collide
+    # in — replaces a pair-distinct shuffle) run as join residual
+    # conditions: codegen'd bit ops, evaluated per probe match, so
+    # only final result pairs materialize. The previous formulation
+    # collected each bucket with collect_list and generated the upper
+    # triangle inside an interpreted higher-order lambda — the hottest
+    # (band, val) bucket at sf0.1 held 1 582 docs ⇒ 1.25 M pairs
+    # generated single-threaded inside ONE row (a straggler AQE cannot
+    # split; guide §2.5): 4.1 s vs ~0.8 s for the join, which spreads
+    # the same probes across the fingerprint aggregate's partitioning.
     fp = simhash_fingerprints(spark, sf_dir)
-    # Explode a CONSTANT sequence and derive (band, val) from the fp
-    # column afterwards. Exploding transform(..., fp) instead lets
-    # CollapseProject inline the whole SimHash fold into the generator,
-    # re-evaluating tokenize+md5 per band (5× per row) — the same
-    # duplicate-evaluation trap as the old per-bit fingerprint.
     bands = fp.select(
         "doc_id", "fp", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
     ).select(
@@ -590,43 +693,35 @@ def l07b_simhash_neardup(spark, sf_dir):
         "band",
         F.expr("shiftright(fp, 15 * band) & 32767").alias("val"),
     )
-    buckets = (
-        bands.groupBy("band", "val")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+    a = bands.select(
+        F.col("doc_id").alias("d1"), F.col("fp").alias("fp1"), "band", "val"
     )
-    # Per-bucket pair generation with BOTH verifications fused into the
-    # expression, so only final result pairs are ever exploded:
-    # - first-band dedup: a pair is emitted only from the FIRST band the
-    #   two fingerprints collide in (forall over the earlier bands), so
-    #   each candidate appears exactly once — replaces the .distinct()
-    #   that shuffled ~3M duplicate candidates (exact-dup documents
-    #   collide in all 4 bands) at sf0.1;
-    # - the Hamming ≤ 6 verify runs on the 16-byte fingerprints inside
-    #   the bucket, before any row is materialized (guide §2.3: shuffle
-    #   decisions on metadata, not payload rows).
-    cand = buckets.select(
-        F.explode(
+    b = bands.select(
+        F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"), "band", "val"
+    )
+    # Deliberate broadcast build (guide §3.1): 4×16-byte band rows per
+    # doc; a shuffled join would partition by the skewed (band, val)
+    # key, and one hot bucket (k=1582 at sf0.1) is a single
+    # unsplittable key (guide §2.5). Probe parallelism follows the
+    # fingerprint aggregate's doc_id partitioning.
+    cand = (
+        a.join(F.broadcast(b), ["band", "val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(
             F.expr(
-                "flatten(transform(ms, (a, i) ->"
-                " transform("
-                "  filter(slice(ms, i + 2, size(ms)), b ->"
-                "   bit_count(a.fp ^ b.fp) <= 6"
-                "   AND (band < 1 OR ((a.fp ^ b.fp) & 32767) != 0)"
-                "   AND (band < 2 OR (shiftright(a.fp ^ b.fp, 15) & 32767) != 0)"
-                "   AND (band < 3 OR (shiftright(a.fp ^ b.fp, 30) & 32767) != 0)),"
-                "  b -> struct(a.doc_id AS d1, a.fp AS fp1,"
-                "              b.doc_id AS d2, b.fp AS fp2))))"
+                "bit_count(fp1 ^ fp2) <= 6"
+                " AND (band < 1 OR ((fp1 ^ fp2) & 32767) != 0)"
+                " AND (band < 2 OR (shiftright(fp1 ^ fp2, 15) & 32767) != 0)"
+                " AND (band < 3 OR (shiftright(fp1 ^ fp2, 30) & 32767) != 0)"
             )
-        ).alias("p")
-    ).select("p.*")
+        )
+    )
     return (
         cand.select(
             "d1",
             "d2",
             F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))).alias("hamming"),
         )
-        .filter(F.col("hamming") <= 6)
         .orderBy("hamming", "d1", "d2")
     )
 
