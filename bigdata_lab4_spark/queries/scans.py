@@ -64,19 +64,29 @@ def s01_csv_scan(spark, sf_dir):
         LIMIT 10
     """,
     doc="S8 generic SQL passthrough (ref: execute_query, src/database.py:41-51) "
-    "— a TPC-H Q3-shaped query through spark.sql over the mounted views.",
+    "— a TPC-H Q3-shaped query through spark.sql over the mounted views. "
+    "The Spark text hints the filtered customer⋈orders subquery as the "
+    "broadcast side (r21): the planner's size estimates picked LINEITEM "
+    "as the build side of the second join (both sides fit the local "
+    "threshold), i.e. it built the hash relation over the big fact "
+    "table and streamed the small filtered side — backwards at any "
+    "scale, and ~0.8 s of single-threaded build at sf0.1 (guide §3.1: "
+    "estimates after filters are often wrong; hint what you know). "
+    "Hints don't change semantics; the oracle runs the unhinted text "
+    "and the results are hash-identical.",
 )
 def s08_sql_passthrough(spark, sf_dir):
     return run_sql(
         spark,
         """
-        SELECT o_orderkey,
+        SELECT /*+ BROADCAST(co) */ o_orderkey,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                CAST(CAST(any_value(o_orderdate) AS TIMESTAMP) AS LONG) AS orderdate_epoch
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        FROM (SELECT /*+ BROADCAST(customer) */ o_orderkey, o_orderdate
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O') co
+        JOIN lineitem ON l_orderkey = co.o_orderkey
         GROUP BY o_orderkey
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
