@@ -275,3 +275,64 @@ def test_correlated_subqueries_decorrelate_to_joins(plans):
     p = plans("s08c_scalar_subquery")
     assert "partial_avg" in p  # per-part average aggregated once
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_minhash_pairs_native_banded_join(plans):
+    """l02b (r21 rewrite): the candidate join must be a broadcast hash
+    join over (band, val) with the fingerprints explicitly
+    repartitioned — never a shuffled join keyed on the skewed band
+    value (a single hot minhash bucket is unsplittable by AQE) and
+    never a cartesian; the only Python is the Arrow-batched
+    per-document fingerprint (no row-at-a-time BatchEvalPython)."""
+    p = plans("l02b_minhash_lsh")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_simhash_fingerprint_is_codegen_aggregate(plans):
+    """l07 (r21 rewrite): the per-bit majority is a codegen'd
+    hash aggregate over exploded token hashes — the interpreted
+    aggregate/zip_with fold (one 60-element array allocation per
+    token) must not come back."""
+    p = plans("l07_simhash")
+    assert "HashAggregate" in p
+    assert "zip_with" not in p
+
+
+def test_simhash_neardup_join_not_bucket_lambda(plans):
+    """l07b (r21 rewrite): banded candidates via broadcast equi-join
+    with codegen'd Hamming/first-band residuals — not collect_list
+    buckets whose hottest bucket serializes 1.25M pair checks into
+    one interpreted lambda call."""
+    p = plans("l07b_simhash_neardup")
+    assert "BroadcastHashJoin" in p
+    assert "collect_list" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_s08_streams_the_fact_table(plans):
+    """s08 (r21): lineitem must never be the broadcast build side —
+    both joins build on the filtered/dimension side (BuildLeft), so
+    the fact table streams."""
+    p = plans("s08_sql_passthrough")
+    assert "BuildRight" not in p
+    assert p.count("BroadcastHashJoin") == 2
+
+
+def test_percentiles_share_one_buffer(plans):
+    """w05b (r21): all cut points come from ONE percentile aggregate
+    over an array of percentages, not one full value buffer per
+    requested percentile."""
+    p = plans("w05b_percentiles")
+    assert "[0.25" in p  # array-of-percentages argument
+    assert "partial_percentile" in p
+
+
+def test_star_join_preaggregates_fact_side(plans):
+    """j02 (r21): lineitem collapses to per-order partials (map-side
+    partial_sum) BEFORE the join chain — the joins must probe
+    aggregated rows, not raw fact rows."""
+    p = plans("j02_star_join")
+    assert "partial_sum" in p
