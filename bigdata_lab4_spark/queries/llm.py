@@ -159,11 +159,16 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6):
 
     minhash_fingerprint = minhash_fingerprint_udf()
     d = load_table(spark, sf_dir, "documents")
-    fp = (
-        d.select("doc_id", minhash_fingerprint(tokens_col("text")).alias("f"))
-        .select("doc_id", F.col("f.idx").alias("idx"), F.col("f.sig").alias("sig"))
-        .filter(F.size("idx") > 0)
-    )
+    # NOTE no filter on the UDF output: a filter referencing a
+    # UDF-computed column makes the optimizer evaluate the UDF twice —
+    # once below the pushed filter, once in the projection (guide §4.4;
+    # observed as 2 ArrowEvalPython nodes per join branch). Zero-token
+    # documents need no explicit filter anyway: their empty ``sig``
+    # yields no rows at the posexplode, so they can never join —
+    # mirroring MinHashLSH's rejection of empty vectors.
+    fp = d.select(
+        "doc_id", minhash_fingerprint(tokens_col("text")).alias("f")
+    ).select("doc_id", F.col("f.idx").alias("idx"), F.col("f.sig").alias("sig"))
     # The corpus arrives as few large files (sf0.1: ONE row-group →
     # one partition), and every plan downstream of a 1-partition scan
     # runs on one task — including the O(candidate-pairs) join probe,
@@ -174,8 +179,14 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6):
     # coalescing is byte-based and cannot see that 10 MB of band rows
     # explodes into ~25M joined candidates downstream.
     fp = fp.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # posexplode_OUTER on purpose: the non-outer generator makes the
+    # optimizer infer a ``size(sig) > 0`` filter and push it below the
+    # exchange — a filter referencing the UDF column, which re-triggers
+    # the §4.4 double evaluation this function just avoided. The outer
+    # variant infers nothing; an empty-sig document contributes one
+    # null (band, val) row that can never match the equi-join.
     bands = fp.select(
-        "doc_id", "idx", "sig", F.posexplode("sig").alias("band", "val")
+        "doc_id", "idx", "sig", F.posexplode_outer("sig").alias("band", "val")
     )
     a = bands.select(
         F.col("doc_id").alias("d1"),
