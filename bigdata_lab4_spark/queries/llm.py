@@ -325,31 +325,73 @@ def l03_knn_exact(spark, sf_dir):
     "Recall vs l03_knn_exact is asserted in tests/test_llm.py.",
 )
 def l03b_ann_lsh(spark, sf_dir):
+    # r21: same seeded model, same buckets, same distances — but the
+    # candidate join and the euclidean verify are native expressions
+    # instead of approxSimilarityJoin's per-pair-occurrence Scala UDF +
+    # distinct over full vector rows (the pattern that cost l02b 8
+    # minutes; here the 5-row query side bounds the damage locally,
+    # but the shape still shuffled candidate pairs carrying BOTH
+    # vectors and verified before dedup). model.transform (a per-ROW
+    # JVM UDF) still produces the hashes, so the seeded bucket ids are
+    # bit-identical by construction; sqrt(Σ(x−y)²) as a sequential
+    # zip_with/aggregate fold reproduces Vectors.sqdist's loop order
+    # exactly (proven by full-pair equality vs the replaced
+    # implementation at sf0.001/0.01/0.1 before committing). Pair
+    # dedup across the 4 hash tables is the same first-collision-table
+    # filter l02b/l07b use — no distinct shuffle.
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector("embedding").alias("vec")
-    )
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+        "vec_id", "embedding", array_to_vector("embedding").alias("vec")
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )
     model = lsh.fit(e)
-    pairs = model.approxSimilarityJoin(
-        e, q.withColumnRenamed("qid", "vec_id").withColumnRenamed("qvec", "vec"),
-        4.0,
-        distCol="dist",
+    sig = model.transform(e).select(
+        "vec_id",
+        "embedding",
+        F.transform("hashes", lambda v: vector_to_array(v)[0]).alias("sig"),
+    )
+    bands = sig.select(
+        "vec_id", "embedding", "sig",
+        F.posexplode_outer("sig").alias("tbl", "bucket"),
+    )
+    corpus = bands.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("sig").alias("cs"),
+        "tbl",
+        "bucket",
+    )
+    queries = bands.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("sig").alias("qs"),
+        "tbl",
+        "bucket",
+    )
+    dist = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(ce, qe, (x, y) ->"
+            " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+            " 0D, (s, v) -> s + v)"
+        )
     )
     return (
-        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetB.vec_id").alias("qid"),
-            F.col("datasetA.vec_id").alias("cid"),
-            F.round("dist", 6).alias("dist"),
+        corpus.join(F.broadcast(queries), ["tbl", "bucket"])
+        .filter(F.col("cid") != F.col("qid"))
+        .filter(
+            F.expr(
+                "(tbl < 1 OR cs[0] != qs[0]) AND (tbl < 2 OR cs[1] != qs[1])"
+                " AND (tbl < 3 OR cs[2] != qs[2])"
+            )
         )
+        .withColumn("dist", dist)
+        .filter(F.col("dist") < 4.0)
+        .select("qid", "cid", F.round("dist", 6).alias("dist"))
         .orderBy("qid", "dist", "cid")
     )
 
