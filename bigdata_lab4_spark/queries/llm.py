@@ -245,9 +245,13 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6):
 @query(
     "l02b_minhash_lsh",
     oracle=None,  # LSH candidate set is seed/implementation-specific
-    doc="L2 MinHash-LSH near-dup, the 100 TB path: shingle → HashingTF → "
-    "MinHashLSH(seed=42) → approxSimilarityJoin. Candidate generation is "
-    "banded hashing (frequency-independent), verified by recall against "
+    doc="L2 MinHash-LSH near-dup, the 100 TB path: tokens → HashingTF "
+    "index set → seeded 8-band minhash signature → banded candidate "
+    "join → exact index-set Jaccard verify. Bit-compatible with "
+    "HashingTF+MinHashLSH(seed=42).approxSimilarityJoin (pinned by "
+    "tests/test_minhash_compat.py) but computed natively — see "
+    "minhash_lsh_pairs. Candidate generation is banded hashing "
+    "(frequency-independent), verified by recall against "
     "l02_jaccard_pairs in tests/test_llm.py.",
 )
 def l02b_minhash_lsh(spark, sf_dir):
