@@ -123,6 +123,45 @@ def l02_jaccard_pairs(spark, sf_dir):
     return scored.orderBy(F.desc("jaccard"), "d1", "d2").limit(20)
 
 
+def _lsh_salt_buckets(spark) -> int:
+    """Salt fan-out for the banded near-dup self-joins (guide §2.5).
+
+    A hot (band, val) bucket is a single join KEY: AQE skew handling
+    splits oversized *partitions*, never one enormous key, so the hot
+    minhash/simhash buckets (one bucket held 1,582 docs at sf0.1) would
+    serialize their whole probe×build workload onto one reducer of a
+    plain shuffled join. Salting splits the key itself: the probe side
+    gets a deterministic ``xxhash64(doc_id) & (k-1)`` salt, the build
+    side is replicated across all k salt values, and the join key
+    becomes (band, val, salt) — every candidate pair still meets
+    exactly once (on the probe row's salt), so the pair set is
+    provably identical to the unsalted/broadcast join
+    (tests/test_minhash_compat.py pins this at sf0.1).
+
+    k multiplies the build side's shuffle bytes (metadata-sized band
+    rows, never payloads), so it is a bounded constant — NOT a function
+    of cluster size — scaled down only when the session has fewer
+    cores than the default. Override per deployment with
+    ``spark.bigdata_lab4.lsh.saltBuckets`` (e.g. larger k for a corpus
+    with a single catastrophic bucket).
+
+    Always a power of two: the probe salt is ``xxhash64(doc_id) &
+    (k-1)`` rather than ``pmod`` because Pmod is a *nullable*
+    expression — the equi-join then infers ``isnotnull(salt)``,
+    rewrites it through the projection and pushes it below the
+    fingerprint exchange, which makes the two self-join branches'
+    subtrees differ and silently disables AQE exchange reuse (the
+    fingerprint would be computed twice per run; the bitwise form is
+    non-nullable, nothing is inferred, and the branches stay
+    byte-identical below the band join — observed, not theory).
+    """
+    v = spark.conf.get("spark.bigdata_lab4.lsh.saltBuckets", "")
+    k = max(1, int(v)) if v else max(4, min(16, spark.sparkContext.defaultParallelism))
+    while k & (k - 1):  # round down to a power of two
+        k &= k - 1
+    return k
+
+
 #: A candidate pair collides in several bands but must be emitted once;
 #: keying the emission to the FIRST band whose minhash values agree
 #: reproduces ``approxSimilarityJoin``'s pair-``distinct`` without a
@@ -136,7 +175,7 @@ _MINHASH_FIRST_BAND = (
 )
 
 
-def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6):
+def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6, salt_buckets: int | None = None):
     """Full (un-truncated) MinHash-LSH candidate pair set — the
     helper both the registered query (top-50 view below) and the
     recall tests (tests/test_llm.py) build on.
@@ -151,10 +190,11 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6):
     2^18-dim sparse vectors into Sets each time, on ONE task (the
     1-file scan side of a broadcast join is never re-partitioned).
     Here the per-document fingerprint is computed once, Arrow-batched
-    (functions/minhash.py); candidates come from a shuffled equi-join
-    on (band, minhash value) — parallel, AQE-skew-splittable — with
-    first-band dedup and the index-set Jaccard fused in as native
-    expressions, so only true result pairs materialize."""
+    (functions/minhash.py); candidates come from a SALTED shuffled
+    equi-join on (band, minhash value, salt) — parallel, hot buckets
+    split across salts, no O(corpus) broadcast — with first-band dedup
+    and the index-set Jaccard fused in as native expressions, so only
+    true result pairs materialize."""
     from bigdata_lab4_spark.functions.minhash import minhash_fingerprint_udf
 
     minhash_fingerprint = minhash_fingerprint_udf()
@@ -166,7 +206,12 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6):
     # documents need no explicit filter anyway: their empty ``sig``
     # yields no rows at the posexplode, so they can never join —
     # mirroring MinHashLSH's rejection of empty vectors.
-    fp = d.select(
+    # Explicit isnotnull(doc_id): the d1<d2 pair filter makes the join
+    # infer exactly this predicate on the two band branches; stating it
+    # on the SHARED subtree keeps the dictionary branch's scan
+    # byte-identical to theirs, so all three consumers resolve to ONE
+    # ReusedExchange (null doc_ids can never appear in a pair anyway).
+    fp = d.filter(F.col("doc_id").isNotNull()).select(
         "doc_id", minhash_fingerprint(tokens_col("text")).alias("f")
     ).select("doc_id", F.col("f.idx").alias("idx"), F.col("f.sig").alias("sig"))
     # The corpus arrives as few large files (sf0.1: ONE row-group →
@@ -185,11 +230,81 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6):
     # the §4.4 double evaluation this function just avoided. The outer
     # variant infers nothing; an empty-sig document contributes one
     # null (band, val) row that can never match the equi-join.
-    bands = fp.select(
-        "doc_id", "idx", "sig", F.posexplode_outer("sig").alias("band", "val")
+    # r22: 64-bit SET MASKS for the per-pair verify (guide §1.2 "make
+    # the per-task work cheap once the shape is right"). The verify is
+    # |A∩B|/|A∪B| over HashingTF index sets; measured at sf0.1 the
+    # O(|A|+|B|) ``array_intersect`` per candidate pair was ~4.7 s of
+    # the 6.5 s total (12.35 M pairs — this corpus's 31-token
+    # vocabulary makes LSH non-selective). When the GLOBAL index
+    # dictionary fits 64 bits, each doc's index set becomes one BIGINT
+    # and the intersection one codegen'd ``bit_count(m1 & m2)`` —
+    # identical integers, hence bit-identical Jaccard doubles. The
+    # dictionary probe is BOUNDED at any scale: the 65 smallest
+    # distinct indices via distinct + TakeOrdered (never an unbounded
+    # collect); 65 rows ⇒ vocabulary > 64 ⇒ masks stay null and the
+    # exact array path runs unchanged (pinned by
+    # tests/test_minhash_compat.py::test_mask_fallback_above_64_vocab).
+    # As a bonus the replicated build side of the salted join below
+    # ships an 8-byte mask instead of the index array.
+    # explode_OUTER + nulls-last, not explode: the non-outer generator
+    # infers size(idx)>0 / isnotnull(idx) filters that push below the
+    # fingerprint exchange, making this subtree differ from the band
+    # branches' and silently disabling the exchange reuse that keeps
+    # the Arrow fingerprint pass single-evaluated. The one null row an
+    # empty corpus contributes sorts last, so it can only occupy a
+    # limit slot when fewer than 65 distinct indices exist — and
+    # collect_list drops it — so the dictionary stays complete exactly
+    # when it is trusted.
+    # The when() is a value-level no-op (doc_id is non-null by the fp
+    # filter, sig is never null from the UDF) whose only job is to
+    # REFERENCE doc_id and sig: column pruning otherwise narrows this
+    # branch's copy of the fingerprint exchange to [idx], the subtree
+    # stops being byte-identical to the band branches', and the
+    # exchange is materialized twice — i.e. the Arrow fingerprint pass
+    # runs again just to list distinct indices.
+    vocab = (
+        fp.select(
+            F.explode_outer(
+                F.when(
+                    F.col("doc_id").isNotNull() & F.col("sig").isNotNull(),
+                    F.col("idx"),
+                )
+            ).alias("i")
+        )
+        .distinct()
+        .orderBy(F.col("i").asc_nulls_last())
+        .limit(65)
+        .agg(F.sort_array(F.collect_list("i")).alias("dict"))
+    )
+    enc = fp.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        # coalesce ⇒ non-nullable: the threshold predicate is
+        # null-intolerant in nset, so a nullable nset makes the join
+        # infer isnotnull(nset), rewrite it to isnotnull(size(idx))
+        # through this projection and push it below the fingerprint
+        # exchange — which both re-evaluates the UDF per branch
+        # (guide §4.4) and breaks branch-subtree equality (no reuse).
+        # The UDF never returns a null idx, so the 0 is unreachable.
+        F.coalesce(F.size("idx"), F.lit(0)).alias("nset"),
+        F.when(
+            F.size("dict") <= 64,
+            F.expr(
+                "aggregate(idx, CAST(0 AS BIGINT), (m, i) -> m |"
+                " shiftleft(CAST(1 AS BIGINT),"
+                " CAST(array_position(dict, i) AS INT) - 1))"
+            ),
+        ).alias("mask"),
+        F.when(F.size("dict") > 64, F.col("idx")).alias("idx"),
+        "sig",
+    )
+    bands = enc.select(
+        "doc_id", "nset", "mask", "idx", "sig",
+        F.posexplode_outer("sig").alias("band", "val"),
     )
     a = bands.select(
         F.col("doc_id").alias("d1"),
+        F.col("nset").alias("n1"),
+        F.col("mask").alias("m1"),
         F.col("idx").alias("i1"),
         F.col("sig").alias("s1"),
         "band",
@@ -197,6 +312,8 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6):
     )
     b = bands.select(
         F.col("doc_id").alias("d2"),
+        F.col("nset").alias("n2"),
+        F.col("mask").alias("m2"),
         F.col("idx").alias("i2"),
         F.col("sig").alias("s2"),
         "band",
@@ -204,21 +321,58 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6):
     )
     # |A∩B| / |A∪B| over HashingTF index sets — exactly
     # MinHashLSHModel.keyDistance (intersection/union sizes as doubles,
-    # 1 - i/u), exact integers so the doubles are bit-identical.
-    inter = F.size(F.array_intersect("i1", "i2")).cast("double")
-    union = F.size("i1") + F.size("i2") - inter
-    # Broadcast the build side DELIBERATELY (guide §3.1): the band
-    # table is small (8 entries of ~24 B per document + the index
-    # array), while a shuffled join would partition by (band, val) —
-    # minhash buckets are heavily skewed (one hot value can own
-    # thousands of docs) and a single hot KEY cannot be skew-split by
-    # AQE (guide §2.5), so the plan must not be left to runtime size
-    # estimates of a Python-UDF subtree. Probe-side parallelism comes
-    # from the doc_id repartition above. At 100 TB the broadcast is
-    # replaced by a salted shuffle join; the candidate set is
-    # identical either way.
+    # 1 - i/u), exact integers so the doubles are bit-identical —
+    # popcount over the masks when the dictionary fits, the original
+    # array intersection otherwise (lazy CASE branch, never both).
+    inter = (
+        F.when(
+            F.col("m1").isNull(), F.size(F.array_intersect("i1", "i2"))
+        )
+        .otherwise(F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))))
+        .cast("double")
+    )
+    union = F.col("n1") + F.col("n2") - inter
+    # SALTED SHUFFLED band join (r22, guide §2.5/§3.1). The r21 form
+    # broadcast the full corpus band table — fine at sf0.1, an
+    # O(corpus) driver/executor OOM at cluster scale. A *plain*
+    # shuffled join is no answer either: it partitions by the skewed
+    # (band, val) key and one hot minhash bucket is a single key AQE
+    # cannot split (observed: leaving the strategy to AQE's estimates
+    # of a Python-UDF subtree flipped runs between ~4 s and ~50 s).
+    # Salting fixes the key itself — see _lsh_salt_buckets — and the
+    # SHUFFLE_HASH hint on the probe side (the k× smaller side of
+    # every (band, val, salt) partition) pins the build side and stops
+    # AQE from converting the join back to an unbounded broadcast.
+    # Both branches still hang below the ONE doc_id exchange above, so
+    # at runtime the Arrow fingerprint pass executes once and the
+    # second branch reads a ReusedExchange (pinned by
+    # tests/test_plans.py::test_minhash_fingerprint_computed_once).
+    # salt_buckets=0/1 keeps the legacy broadcast join — used only by
+    # the equivalence test to prove the pair sets identical at sf0.1.
+    n_salt = _lsh_salt_buckets(spark) if salt_buckets is None else int(salt_buckets)
+    if n_salt >= 2:
+        a = a.withColumn(
+            "salt", F.xxhash64("d1").bitwiseAND(F.lit(n_salt - 1)).cast("int")
+        )
+        b = b.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        # Explicit join-key repartition at the session's parallelism:
+        # AQE's byte-based partition coalescing sees only the few MB of
+        # fingerprint metadata crossing this exchange, not the
+        # millions of candidate probes generated downstream of it, and
+        # merges the pair-verify stage onto a handful of cores
+        # (measured: ~2x slower at sf0.1). REPARTITION_BY_NUM
+        # exchanges are exempt from coalescing; the width still
+        # derives from defaultParallelism, never a constant.
+        par = spark.sparkContext.defaultParallelism
+        a = a.repartition(par, "band", "val", "salt")
+        b = b.repartition(par, "band", "val", "salt")
+        joined = a.hint("shuffle_hash").join(b, ["band", "val", "salt"])
+    else:
+        joined = a.join(F.broadcast(b), ["band", "val"])
     scored = (
-        a.join(F.broadcast(b), ["band", "val"])
+        joined
         .filter(F.col("d1") < F.col("d2"))
         .filter(F.expr(_MINHASH_FIRST_BAND))
         .select(
@@ -728,6 +882,10 @@ def l07_simhash(spark, sf_dir):
     "deterministic LSH, so the oracle checks the complete pipeline.",
 )
 def l07b_simhash_neardup(spark, sf_dir):
+    return simhash_neardup_pairs(spark, sf_dir)
+
+
+def simhash_neardup_pairs(spark, sf_dir, salt_buckets: int | None = None):
     # Banded candidate JOIN on (band, val): 4 band rows of 16 bytes per
     # document — keys and metadata, never payloads (guide §2.3, §8).
     # The Hamming ≤ 6 verify and the first-band dedup (a pair is
@@ -756,13 +914,44 @@ def l07b_simhash_neardup(spark, sf_dir):
     b = bands.select(
         F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"), "band", "val"
     )
-    # Deliberate broadcast build (guide §3.1): 4×16-byte band rows per
-    # doc; a shuffled join would partition by the skewed (band, val)
-    # key, and one hot bucket (k=1582 at sf0.1) is a single
-    # unsplittable key (guide §2.5). Probe parallelism follows the
-    # fingerprint aggregate's doc_id partitioning.
+    # SALTED SHUFFLED band join (r22): the r21 broadcast of the whole
+    # corpus band table is an O(corpus) OOM at cluster scale, and a
+    # plain shuffled join lands each hot (band, val) bucket — a single
+    # key, 1,582 docs at sf0.1 — on one reducer AQE cannot split
+    # (guide §2.5). Salting splits the key: probe rows carry
+    # pmod(xxhash64(d1), k), the build side is replicated over all k
+    # salts, every pair meets exactly once, so the candidate set is
+    # identical (oracle hash-match + broadcast-vs-salted equality test
+    # at sf0.1). SHUFFLE_HASH on the probe side (k× smaller per
+    # partition) pins the build side and blocks AQE's broadcast
+    # conversion. The fingerprint aggregate below still computes once:
+    # both branches share its exchange (ReusedExchange at runtime).
+    # salt_buckets=0/1 keeps the legacy broadcast join for the
+    # equivalence test.
+    n_salt = _lsh_salt_buckets(spark) if salt_buckets is None else int(salt_buckets)
+    if n_salt >= 2:
+        a = a.withColumn(
+            "salt", F.xxhash64("d1").bitwiseAND(F.lit(n_salt - 1)).cast("int")
+        )
+        b = b.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        # Explicit join-key repartition at the session's parallelism:
+        # AQE's byte-based partition coalescing sees only the few MB of
+        # fingerprint metadata crossing this exchange, not the
+        # millions of candidate probes generated downstream of it, and
+        # merges the pair-verify stage onto a handful of cores
+        # (measured: ~2x slower at sf0.1). REPARTITION_BY_NUM
+        # exchanges are exempt from coalescing; the width still
+        # derives from defaultParallelism, never a constant.
+        par = spark.sparkContext.defaultParallelism
+        a = a.repartition(par, "band", "val", "salt")
+        b = b.repartition(par, "band", "val", "salt")
+        joined = a.hint("shuffle_hash").join(b, ["band", "val", "salt"])
+    else:
+        joined = a.join(F.broadcast(b), ["band", "val"])
     cand = (
-        a.join(F.broadcast(b), ["band", "val"])
+        joined
         .filter(F.col("d1") < F.col("d2"))
         .filter(
             F.expr(

@@ -105,3 +105,91 @@ def test_pairs_match_approx_similarity_join(spark):
         for r in minhash_lsh_pairs(spark, SF_DIR).collect()
     }
     assert want == got
+
+
+def _multiset_equal(lhs, rhs, cols):
+    """Multiset equality of two DataFrames via one tagged union +
+    group-count pass (cheaper than two exceptAll evaluations — each
+    side is computed exactly once)."""
+    tagged = lhs.select(*cols).withColumn("_src", F.lit(1)).unionByName(
+        rhs.select(*cols).withColumn("_src", F.lit(2))
+    )
+    mismatch = (
+        tagged.groupBy(*cols)
+        .agg(
+            F.sum(F.when(F.col("_src") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("_src") == 2, 1).otherwise(0)).alias("n2"),
+        )
+        .filter("n1 != n2")
+    )
+    return mismatch.count() == 0
+
+
+def test_salted_join_equals_broadcast_sf01(spark):
+    """r22: the salted shuffled band join (the scale-true default)
+    must produce the exact pair multiset of the legacy broadcast band
+    join it replaced — at sf0.1, the scale the driver benches."""
+    new = minhash_lsh_pairs(spark, "/root/testdata/sf0.1")
+    old = minhash_lsh_pairs(spark, "/root/testdata/sf0.1", salt_buckets=0)
+    assert _multiset_equal(new, old, ["d1", "d2", "jaccard_dist"])
+
+
+def test_simhash_salted_equals_broadcast_sf01(spark):
+    """r22: same proof for the simhash banded near-dup join (l07b) —
+    beyond the DuckDB oracle's full-result check at sf0.001/0.01."""
+    from bigdata_lab4_spark.queries.llm import simhash_neardup_pairs
+
+    new = simhash_neardup_pairs(spark, "/root/testdata/sf0.1")
+    old = simhash_neardup_pairs(spark, "/root/testdata/sf0.1", salt_buckets=0)
+    assert _multiset_equal(new, old, ["d1", "d2", "hamming"])
+
+
+def test_mask_fallback_above_64_vocab(spark, tmp_path):
+    """r22: the 64-bit set-mask verify only applies when the GLOBAL
+    index dictionary fits 64 bits; a corpus with more distinct
+    HashingTF indices must fall back to the exact array-intersect
+    path and still match the reference semantics pair-for-pair
+    (reference = the Python kernel + banded candidate generation +
+    first-band dedup + strict < 0.6, i.e. approxSimilarityJoin's
+    contract)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # 80 distinct tokens -> > 64 distinct indices (asserted below).
+    toks = [f"tok{i:02d}" for i in range(80)]
+    assert len({hashing_tf_index(t) for t in toks}) > 64
+    docs = []
+    for d in range(40):
+        base = toks[d % 8 : d % 8 + 6]            # heavy overlap -> near-dups
+        extra = [toks[(7 * d + j) % 80] for j in range(d % 3)]
+        docs.append((d, " ".join(base + extra)))
+    spark.createDataFrame(docs, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # Reference pairs in pure Python with the same kernel.
+    fps = {}
+    for d, text in docs:
+        idxs, sig = doc_fingerprint([t for t in text.split(" ") if t], {})
+        fps[d] = (set(idxs), sig)
+    want = {}
+    for d1 in fps:
+        for d2 in fps:
+            if not d1 < d2:
+                continue
+            s1, g1 = fps[d1]
+            s2, g2 = fps[d2]
+            if not g1 or not g2 or not any(x == y for x, y in zip(g1, g2)):
+                continue  # no band collision -> not a candidate
+            inter = len(s1 & s2)
+            dist = 1.0 - inter / (len(s1) + len(s2) - inter)
+            if dist < 0.6:
+                want[(d1, d2)] = float(
+                    Decimal(repr(dist)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                )
+    got = {
+        (r.d1, r.d2): r.jaccard_dist
+        for r in minhash_lsh_pairs(spark, str(tmp_path)).collect()
+    }
+    assert want and want == got

@@ -278,14 +278,17 @@ def test_correlated_subqueries_decorrelate_to_joins(plans):
 
 
 def test_minhash_pairs_native_banded_join(plans):
-    """l02b (r21 rewrite): the candidate join must be a broadcast hash
-    join over (band, val) with the fingerprints explicitly
-    repartitioned — never a shuffled join keyed on the skewed band
-    value (a single hot minhash bucket is unsplittable by AQE) and
-    never a cartesian; the only Python is the Arrow-batched
-    per-document fingerprint (no row-at-a-time BatchEvalPython)."""
+    """l02b (r22 rewrite): the candidate join must be a SALTED
+    shuffled hash join over (band, val, salt) — no O(corpus)
+    broadcast (the r21 form broadcast every document's band rows,
+    a guaranteed OOM at cluster scale), no sort-merge, never a
+    cartesian for the band join itself (the 1-row dictionary cross
+    join is a BroadcastNestedLoopJoin, allowed); the only Python is
+    the Arrow-batched per-document fingerprint (no row-at-a-time
+    BatchEvalPython)."""
     p = plans("l02b_minhash_lsh")
-    assert "BroadcastHashJoin" in p
+    assert "ShuffledHashJoin" in p and "salt" in p
+    assert "BroadcastHashJoin" not in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
@@ -302,14 +305,40 @@ def test_simhash_fingerprint_is_codegen_aggregate(plans):
 
 
 def test_simhash_neardup_join_not_bucket_lambda(plans):
-    """l07b (r21 rewrite): banded candidates via broadcast equi-join
-    with codegen'd Hamming/first-band residuals — not collect_list
-    buckets whose hottest bucket serializes 1.25M pair checks into
-    one interpreted lambda call."""
+    """l07b (r22 rewrite): banded candidates via SALTED shuffled hash
+    equi-join with codegen'd Hamming/first-band residuals — no
+    O(corpus) broadcast, and not collect_list buckets whose hottest
+    bucket serializes 1.25M pair checks into one interpreted lambda
+    call."""
     p = plans("l07b_simhash_neardup")
-    assert "BroadcastHashJoin" in p
+    assert "ShuffledHashJoin" in p and "salt" in p
+    assert "BroadcastHashJoin" not in p and "BroadcastExchange" not in p
     assert "collect_list" not in p
     assert "CartesianProduct" not in p
+
+
+def test_lsh_band_joins_runtime_single_fingerprint_pass(spark):
+    """r22: the EXECUTED (final AQE) plans of the two salted band
+    joins. The expensive fingerprint subtree must materialize exactly
+    once per run — the second self-join branch (and, for l02b, the
+    mask-dictionary branch) must read a ReusedExchange of the first
+    branch's shuffle, which static `explain` cannot show (it prints
+    one subtree per branch; reuse is decided per query-stage at
+    runtime). Also: no BroadcastHashJoin anywhere — the band join
+    must stay shuffled+salted at runtime (AQE must not have converted
+    it back to an unbounded broadcast)."""
+    from bigdata_lab4_spark.registry import REGISTRY
+    import bigdata_lab4_spark.queries  # noqa: F401
+
+    for name, n_arrow in [("l02b_minhash_lsh", 1), ("l07b_simhash_neardup", 0)]:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        qe = df._jdf.queryExecution()
+        qe.executedPlan().execute().count()  # run THIS QueryExecution
+        final = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+        assert final.count("ArrowEvalPython") == n_arrow, name
+        assert "ReusedExchange" in final, name
+        assert "ShuffledHashJoin" in final, name
+        assert "BroadcastHashJoin" not in final, name
 
 
 def test_s08_streams_the_fact_table(plans):
