@@ -40,6 +40,17 @@ HEADLINE = [
     "x02_quality_score",
     "f05_json_funcs",
     "s08_sql_passthrough",
+    # r22 ADDITIONS (never remove/rename entries above — the driver
+    # compares rounds by name): the query paths structurally rewritten
+    # in the optimization rounds, so their regressions/wins are visible
+    # to the driver's bench instead of only to ad-hoc A/B timing.
+    "l02b_minhash_lsh",
+    "l07b_simhash_neardup",
+    "l07_simhash",
+    "w05b_percentiles",
+    "a04_classification_report",
+    "a09_idf",
+    "l03c_ivf_ann",
 ]
 
 

@@ -94,10 +94,13 @@ def j02_star_join(spark, sf_dir):
     # "join first on the un-exploded key"): revenue and item count are
     # additive per order, and every dimension attribute is functionally
     # determined by o_orderkey, so pre-aggregating 600 k lineitems to
-    # 150 k order rows is exactly revenue-preserving (same doubles —
-    # the final sum adds the identical per-order partial sums the
-    # grouped agg would have produced per (r_name, n_name) run through
-    # the same partial-aggregation tree). The joins then probe 4×
+    # 150 k order rows regroups the same additions. Float addition is
+    # not associative, so the regrouped double sums are NOT bit-equal
+    # in general (and Spark's partial-aggregation order was already
+    # nondeterministic); the result is stable because the declared
+    # output rounds revenue to 2 decimals, which absorbs the ULP-level
+    # drift — verified hash-identical at sf0.001/0.01/0.1. The joins
+    # then probe 4×
     # fewer rows, and at scale the shuffle carries per-order partials
     # instead of raw lineitems. Measured 0.86 s → 0.58 s at sf0.1.
     per_order = li.groupBy("l_orderkey").agg(
@@ -155,13 +158,25 @@ def j03_broadcast_join(spark, sf_dir):
     "count 0; result is the lineitems-per-order histogram.",
 )
 def j04_left_outer(spark, sf_dir):
+    # r22: lineitem is pre-aggregated to per-order counts BEFORE the
+    # outer join (guide §2.3 "aggregate before you shuffle") — the
+    # partial aggregation collapses map-side, so the shuffle carries
+    # one (orderkey, count) row per order instead of every raw
+    # lineitem row (~4x fewer rows at any scale), and the aggregate's
+    # exchange doubles as the join-side distribution. The r21 attempt
+    # without a strategy hint lost locally because the planner built a
+    # broadcast over the 600k-key count table; SHUFFLE_HASH bounds the
+    # build to a per-partition hash and measured 0.82→0.39 s at sf0.1.
+    # count("l_orderkey") ≡ per-group row count here: an equi-join
+    # never matches a null l_orderkey, so unmatched orders take the
+    # coalesce(0) and matched groups count only joined rows, exactly
+    # as before (oracle hash-identical).
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    per_order = (
-        o.join(li, o.o_orderkey == li.l_orderkey, "left")
-        .groupBy("o_orderkey")
-        .agg(F.count("l_orderkey").alias("n_items"))
-    )
+    per = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    per_order = o.join(
+        per.hint("shuffle_hash"), o.o_orderkey == per.l_orderkey, "left"
+    ).select(F.coalesce(F.col("cnt"), F.lit(0)).alias("n_items"))
     return per_order.groupBy("n_items").agg(F.count("*").alias("n_orders"))
 
 

@@ -342,12 +342,19 @@ def test_lsh_band_joins_runtime_single_fingerprint_pass(spark):
 
 
 def test_s08_streams_the_fact_table(plans):
-    """s08 (r21): lineitem must never be the broadcast build side —
-    both joins build on the filtered/dimension side (BuildLeft), so
-    the fact table streams."""
+    """s08 (r22): both joins are SHUFFLE_HASH with the filtered /
+    dimension side as the build (BuildLeft), so the fact table streams
+    and nothing is broadcast unboundedly (the r21 BROADCAST hint
+    bypassed the size threshold — an OOM at 100 TB). Assertions are
+    anchored to the join lines themselves, not a global substring, so
+    an unrelated plan node mentioning a build side cannot fail it."""
+    import re
+
     p = plans("s08_sql_passthrough")
-    assert "BuildRight" not in p
-    assert p.count("BroadcastHashJoin") == 2
+    joins = re.findall(r"ShuffledHashJoin\b.*", p)
+    assert len(joins) == 2
+    assert all("BuildLeft" in j for j in joins)
+    assert "BroadcastHashJoin" not in p and "SortMergeJoin" not in p
 
 
 def test_percentiles_share_one_buffer(plans):
