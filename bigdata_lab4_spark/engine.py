@@ -10,6 +10,7 @@ mounted.
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,14 +81,27 @@ def create_predictions_table(spark: SparkSession, path: str) -> None:
     races are out of scope here, matching the reference's single
     ClickHouse DDL connection."""
     with _CREATE_LOCK:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.isDirectory(jpath):
-            for st in fs.listStatus(jpath):
-                name = st.getPath().getName()
-                if name.endswith(".parquet") or name == "_SUCCESS":
-                    return
+        jvm = getattr(spark, "_jvm", None)
+        if jvm is not None:
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.isDirectory(jpath):
+                for st in fs.listStatus(jpath):
+                    name = st.getPath().getName()
+                    if name.endswith(".parquet") or name == "_SUCCESS":
+                        return
+        else:
+            # Spark Connect sessions expose no py4j bridge (_jvm /
+            # _jsc are private classic-session API); fall back to a
+            # driver-local path check so the local-filesystem case
+            # keeps working. Remote filesystems under Connect would
+            # need a server-side DDL instead — out of scope, matching
+            # the reference's single ClickHouse DDL connection.
+            if os.path.isdir(path) and any(
+                n.endswith(".parquet") or n == "_SUCCESS"
+                for n in os.listdir(path)
+            ):
+                return
         spark.createDataFrame([], PREDICTIONS_SCHEMA).write.mode("overwrite").parquet(path)
 
 

@@ -143,23 +143,37 @@ class SentimentAPI:
                         self._json(500, {"detail": "Prediction failed"})
                 elif route == "/predictions":
                     raw = parse_qs(parsed.query).get("limit", ["10"])[0]
+                    # validation failure is the client's fault → 422,
+                    # matching FastAPI's query-param validation on the
+                    # reference route (`src/app.py:89-95`), not a 500.
+                    # Non-integers and negatives get distinct
+                    # FastAPI-style error payloads (a range failure
+                    # must not be mislabeled as a type failure).
                     try:
                         limit = int(raw)
-                        if limit < 0:
-                            raise ValueError
                     except ValueError:
-                        # validation failure is the client's fault →
-                        # 422, matching FastAPI's query-param
-                        # validation on the reference route
-                        # (`src/app.py:89-95`), not a 500
                         self._json(
                             422,
                             {
                                 "detail": [
                                     {
                                         "loc": ["query", "limit"],
-                                        "msg": "value is not a valid non-negative integer",
+                                        "msg": "value is not a valid integer",
                                         "type": "type_error.integer",
+                                    }
+                                ]
+                            },
+                        )
+                        return
+                    if limit < 0:
+                        self._json(
+                            422,
+                            {
+                                "detail": [
+                                    {
+                                        "loc": ["query", "limit"],
+                                        "msg": "ensure this value is greater than or equal to 0",
+                                        "type": "value_error.number.not_ge",
                                     }
                                 ]
                             },

@@ -130,14 +130,32 @@ def test_mapinpandas_stage_is_shuffle_free(plans):
 
 def test_grouped_agg_udaf_keeps_native_partial_agg(plans):
     """f08: the pandas UDAF side runs via AggregateInPandas while
-    the native median side still gets partial aggregation, and the
-    4-row UDAF result broadcasts into the join."""
+    the native median side still exists as a Catalyst percentile
+    aggregate, the 4-row UDAF result broadcasts into the join, and
+    (r22) both sides hang off ONE key-partitioned exchange of the
+    pruned columns so the fact table is scanned once, not twice."""
     p = plans("f08_grouped_agg_udaf")
     # Spark 4's physical node for a grouped-agg pandas UDF
     assert "ArrowAggregatePython" in p
-    assert "partial_percentile" in p
+    assert "percentile" in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_grouped_agg_udaf_scans_once_at_runtime(spark):
+    """f08 (r22): at runtime the native-median branch reads a
+    ReusedExchange of the UDAF branch's key-partitioned exchange, so
+    the fact table is scanned ONCE (the static plan prints both
+    branches; reuse is a runtime query-stage decision)."""
+    from bigdata_lab4_spark.registry import REGISTRY
+    import bigdata_lab4_spark.queries  # noqa: F401
+
+    df = REGISTRY["f08_grouped_agg_udaf"].fn(spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    final = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "ReusedExchange" in final
 
 
 def test_asof_join_single_shuffle_per_user(plans):

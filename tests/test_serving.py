@@ -104,3 +104,17 @@ def test_no_store_mode(spark, tiny_model):
         assert code == 200 and out == {"sentiment": POSITIVE}
     finally:
         server.shutdown()
+
+
+def test_invalid_limit_422_payloads_distinguish_type_and_range(served):
+    """r22 (ADVICE): a non-integer limit is a type failure, a negative
+    limit a range failure — both 422 but with self-consistent
+    FastAPI-style msg/type fields, never a range error labeled
+    type_error."""
+    code, out = _call(served, "POST", "/predictions/?limit=abc")
+    assert code == 422
+    assert out["detail"][0]["type"] == "type_error.integer"
+    code, out = _call(served, "POST", "/predictions/?limit=-1")
+    assert code == 422
+    assert out["detail"][0]["type"] == "value_error.number.not_ge"
+    assert "greater than or equal" in out["detail"][0]["msg"]
