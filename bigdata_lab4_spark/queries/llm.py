@@ -213,7 +213,16 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6, salt_buckets: int |
     # ReusedExchange (null doc_ids can never appear in a pair anyway).
     fp = d.filter(F.col("doc_id").isNotNull()).select(
         "doc_id", minhash_fingerprint(tokens_col("text")).alias("f")
-    ).select("doc_id", F.col("f.idx").alias("idx"), F.col("f.sig").alias("sig"))
+    ).select(
+        "doc_id",
+        F.col("f.idx").alias("idx"),
+        # Minhash values are ((1+e)·a + b) mod 2038074743 < 2^31, so the
+        # int cast is lossless; it halves the signature bytes on every
+        # band row — including the salt-replicated build side (§2.3
+        # "narrower types"). Join equality and the first-band compares
+        # see the same values as int32.
+        F.col("f.sig").cast("array<int>").alias("sig"),
+    )
     # The corpus arrives as few large files (sf0.1: ONE row-group →
     # one partition), and every plan downstream of a 1-partition scan
     # runs on one task — including the O(candidate-pairs) join probe,
