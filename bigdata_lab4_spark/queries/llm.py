@@ -484,6 +484,21 @@ def l03_knn_exact(spark, sf_dir):
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
 
 
+def _brp_unit_vectors(model):
+    """The fitted ``BucketedRandomProjectionLSHModel``'s seeded random
+    unit vectors as plain Python lists (numHashTables × dim doubles —
+    bounded at any corpus size), or ``None`` when the session exposes
+    no py4j bridge (Spark Connect). ``randUnitVectors`` is a
+    ``private[ml]`` accessor, which compiles to a public method, so the
+    classic-session bridge can call it; the ``None`` path keeps the
+    ``model.transform`` pipeline (same rows — tests/test_llm.py)."""
+    try:
+        juvs = model._java_obj.randUnitVectors()
+        return [list(juvs[i].toArray()) for i in range(len(juvs))]
+    except Exception:
+        return None
+
+
 @query(
     "l03b_ann_lsh",
     oracle=None,  # bucketed-random-projection candidates are seed-specific
@@ -498,29 +513,78 @@ def l03b_ann_lsh(spark, sf_dir):
     # distinct over full vector rows (the pattern that cost l02b 8
     # minutes; here the 5-row query side bounds the damage locally,
     # but the shape still shuffled candidate pairs carrying BOTH
-    # vectors and verified before dedup). model.transform (a per-ROW
-    # JVM UDF) still produces the hashes, so the seeded bucket ids are
-    # bit-identical by construction; sqrt(Σ(x−y)²) as a sequential
-    # zip_with/aggregate fold reproduces Vectors.sqdist's loop order
-    # exactly (proven by full-pair equality vs the replaced
+    # vectors and verified before dedup). sqrt(Σ(x−y)²) as a
+    # sequential zip_with/aggregate fold reproduces Vectors.sqdist's
+    # loop order exactly (proven by full-pair equality vs the replaced
     # implementation at sf0.001/0.01/0.1 before committing). Pair
     # dedup across the 4 hash tables is the same first-collision-table
     # filter l02b/l07b use — no distinct shuffle.
+    #
+    # r22: the hashes themselves go native too — the last per-row JVM
+    # UDF chain (array_to_vector → LSHModel.transform →
+    # vector_to_array) is gone from the hot path (guide §4.1). The
+    # seeded model's hash is floor(dot(v, u_t) / bucketLength) over
+    # numHashTables random unit vectors that depend only on
+    # (seed, input dim): fit() reads nothing but one row's dimension,
+    # so the vectors are extracted once on the driver (4 × dim
+    # doubles — bounded at ANY corpus size) and embedded as literals.
+    # The sequential zip_with/aggregate dot fold lands on the same
+    # doubles as the JVM's gemv accumulation, and floor() on the same
+    # bucket ids — pinned value-for-value against model.transform at
+    # sf0.001/0.01/0.1 (tests/test_llm.py::
+    # test_ann_lsh_native_hashes_match_model_transform), so buckets,
+    # candidate set and distances are bit-identical to the r21 form.
+    # Sessions without a py4j bridge (Spark Connect) keep the
+    # model.transform path — same rows by the same test.
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", array_to_vector("embedding").alias("vec")
-    )
+    bucket_length = 2.0
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     lsh = BucketedRandomProjectionLSH(
-        inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+        inputCol="vec",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=4,
+        seed=42,
     )
-    model = lsh.fit(e)
-    sig = model.transform(e).select(
-        "vec_id",
-        "embedding",
-        F.transform("hashes", lambda v: vector_to_array(v)[0]).alias("sig"),
+    model = lsh.fit(
+        e.limit(1).select(array_to_vector("embedding").alias("vec"))
     )
+    unit_vectors = _brp_unit_vectors(model)
+
+    if unit_vectors is not None:
+        sig = e.select(
+            "vec_id",
+            "embedding",
+            F.array(
+                *[
+                    F.floor(
+                        F.aggregate(
+                            F.zip_with(
+                                "embedding",
+                                F.array(*[F.lit(x) for x in uv]),
+                                lambda x, y: x.cast("double") * y,
+                            ),
+                            F.lit(0.0),
+                            lambda s, v: s + v,
+                        )
+                        / F.lit(bucket_length)
+                    ).cast("double")
+                    for uv in unit_vectors
+                ]
+            ).alias("sig"),
+        )
+    else:
+        from pyspark.ml.functions import vector_to_array
+
+        sig = model.transform(
+            e.withColumn("vec", array_to_vector("embedding"))
+        ).select(
+            "vec_id",
+            "embedding",
+            F.transform("hashes", lambda v: vector_to_array(v)[0]).alias("sig"),
+        )
     bands = sig.select(
         "vec_id", "embedding", "sig",
         F.posexplode_outer("sig").alias("tbl", "bucket"),

@@ -76,6 +76,65 @@ def test_ann_lsh_recall_at_10_vs_exact_knn(spark, queries):
     assert sum(recalls) / len(recalls) >= 0.8
 
 
+def test_ann_lsh_native_hashes_match_model_transform(spark, queries, monkeypatch):
+    """r22: l03b's bucket hashes are native floor(dot/bucketLength)
+    expressions over driver-extracted seeded unit vectors (no per-row
+    JVM UDF). Pin (a) the native signature value-for-value against
+    ``model.transform`` over the whole corpus, and (b) the registered
+    query's full output row-for-row against the Connect fallback path
+    (which IS the r21 model.transform pipeline)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import functions as F
+
+    import bigdata_lab4_spark.queries.llm as llm
+    from bigdata_lab4_spark.catalog import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("vec")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    unit_vectors = llm._brp_unit_vectors(model)
+    assert unit_vectors is not None and len(unit_vectors) == 4
+
+    ref = model.transform(e).select(
+        "vec_id", F.transform("hashes", lambda v: vector_to_array(v)[0]).alias("sig")
+    )
+    nat = e.select(
+        "vec_id",
+        F.array(
+            *[
+                F.floor(
+                    F.aggregate(
+                        F.zip_with(
+                            "embedding",
+                            F.array(*[F.lit(x) for x in uv]),
+                            lambda x, y: x.cast("double") * y,
+                        ),
+                        F.lit(0.0),
+                        lambda s, v: s + v,
+                    )
+                    / F.lit(2.0)
+                ).cast("double")
+                for uv in unit_vectors
+            ]
+        ).alias("nsig"),
+    )
+    joined = ref.join(nat, "vec_id")
+    assert joined.count() == e.count()
+    assert joined.filter(F.expr("sig != nsig")).count() == 0
+
+    native_rows = [tuple(r) for r in queries["l03b_ann_lsh"](spark, SF_DIR).collect()]
+    monkeypatch.setattr(llm, "_brp_unit_vectors", lambda m: None)
+    fallback_rows = [
+        tuple(r) for r in queries["l03b_ann_lsh"](spark, SF_DIR).collect()
+    ]
+    assert native_rows == fallback_rows
+
+
 def test_ivf_ann_recall_at_10_vs_exact_knn(spark, queries):
     """IVF (8 deterministic cells, nprobe=3) recall@10 against
     brute-force cosine top-10, per query vector, mean >= 0.8

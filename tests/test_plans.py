@@ -312,6 +312,18 @@ def test_minhash_pairs_native_banded_join(plans):
     assert "BatchEvalPython" not in p
 
 
+def test_ann_lsh_hashes_are_native(plans):
+    """l03b (r22 rewrite): the seeded bucket hashes are native
+    floor(dot/bucketLength) expressions over embedded unit vectors —
+    the per-row JVM UDF chain (array_to_vector → LSHModel.transform →
+    vector_to_array) must not come back, and the 5-row query side
+    stays the broadcast build side."""
+    p = plans("l03b_ann_lsh")
+    assert "UDF(" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
 def test_simhash_fingerprint_is_codegen_aggregate(plans):
     """l07 (r21 rewrite): the per-bit majority is a codegen'd
     hash aggregate over exploded token hashes — the interpreted
