@@ -195,7 +195,13 @@ def j04_left_outer(spark, sf_dir):
 def j04b_full_outer(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    j = c.join(o, c.c_custkey == o.o_custkey, "outer")
+    # Full outer can never broadcast; the planner's default is SMJ with
+    # two full sorts. SHUFFLE_HASH on customer (the 10× smaller TPC-H
+    # side, bounded per partition after the shuffle) drops both sorts —
+    # the r21 win, now a per-query hint instead of the engine-wide
+    # preferSortMergeJoin=false default it used to rely on (guide §3.1;
+    # the global default risked SHJ on unbounded builds elsewhere).
+    j = c.hint("shuffle_hash").join(o, c.c_custkey == o.o_custkey, "outer")
     return j.agg(
         F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("cust_only"),
         F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("order_only"),

@@ -312,6 +312,19 @@ def test_minhash_pairs_native_banded_join(plans):
     assert "BatchEvalPython" not in p
 
 
+def test_full_outer_join_hashes_not_sorts(plans):
+    """j04b (r22): full outer can never broadcast; the SHUFFLE_HASH
+    hint on customer (the bounded build side) must keep dropping both
+    SMJ sorts — and, being a hint rather than the former session-wide
+    preferSortMergeJoin=false, it holds in the driver's vanilla
+    session too."""
+    import re
+
+    p = plans("j04b_full_outer")
+    assert re.search(r"ShuffledHashJoin .*FullOuter, BuildLeft", p)
+    assert "SortMergeJoin" not in p
+
+
 def test_ann_lsh_hashes_are_native(plans):
     """l03b (r22 rewrite): the seeded bucket hashes are native
     floor(dot/bucketLength) expressions over embedded unit vectors —
