@@ -105,6 +105,8 @@ def _make_kernel(coeffs, prime, num_features):
         return murmur3_32(token.encode("utf-8")) % num_features
 
     def fingerprint(tokens, cache):
+        import numpy as np  # ships with pyspark's worker requirements
+
         idx_set = set()
         for t in tokens:
             i = cache.get(t)
@@ -114,8 +116,20 @@ def _make_kernel(coeffs, prime, num_features):
                     cache[t] = i
             idx_set.add(i)
         idxs = sorted(idx_set)
-        sig = [min(((1 + e) * a + b) % prime for e in idxs) for a, b in coeffs]
+        # Vectorized min-fold (guide §4.2: vectorize inside the Python
+        # boundary): 8 × |idxs| modular contributions as ONE int64
+        # matrix op instead of 8 Python generator folds. Exact — the
+        # largest intermediate (1 + 2^18) · a < 2^49 fits int64, so
+        # these are the same integers the scalar fold produced (pinned
+        # vs MinHashLSHModel.transform in tests/test_minhash_compat).
+        v = np.array(idxs, dtype=np.int64) + 1
+        sig = ((v[:, None] * _coeff_a + _coeff_b) % prime).min(axis=0).tolist()
         return idxs, sig
+
+    import numpy as _np
+
+    _coeff_a = _np.array([a for a, _ in coeffs], dtype=_np.int64)
+    _coeff_b = _np.array([b for _, b in coeffs], dtype=_np.int64)
 
     return index, fingerprint
 
