@@ -355,7 +355,8 @@ def minhash_lsh_pairs(spark, sf_dir, threshold: float = 0.6, salt_buckets: int |
     # Both branches still hang below the ONE doc_id exchange above, so
     # at runtime the Arrow fingerprint pass executes once and the
     # second branch reads a ReusedExchange (pinned by
-    # tests/test_plans.py::test_minhash_fingerprint_computed_once).
+    # tests/test_plans.py::
+    # test_lsh_band_joins_runtime_single_fingerprint_pass).
     # salt_buckets=0/1 keeps the legacy broadcast join — used only by
     # the equivalence test to prove the pair sets identical at sf0.1.
     n_salt = _lsh_salt_buckets(spark) if salt_buckets is None else int(salt_buckets)
